@@ -1,0 +1,318 @@
+"""Wavefront path integrator with next-event estimation.
+
+TPU-native replacement for the recursive `PathIntegrator.TraceRay`
+(`Core/Integrator/Integrators.fs:96-141`) + `PixelIntegrator.Sample`
+(`Integrators.fs:143-172`): instead of per-ray recursion, a fixed-size
+wavefront of path states advances through a bounce loop; dead paths are
+masked, not branched. Everything is one `jit` region: XLA fuses ray
+generation, intersection, shading, and accumulation.
+
+Two estimators:
+
+- "physical" (default): cosine-sampled lambert, NEE with the correct
+  f*cos_s*Le*cos_l/(d^2*pdf_A) weight, emissive surfaces visible, MIS
+  (power-2) between light and BSDF sampling, optional Russian roulette.
+- "mafrix": bit-for-the-same-math parity with the reference estimator for
+  the allclose gate, reproducing its quirks deliberately (SURVEY §2.8):
+  uniform-hemisphere lambert with weight `albedo*2*cos`
+  (`Material.fs:33-36`); direct light `cos_s*I*|cos_l|*Area^2/d^2` — the
+  extra Area comes from `L()` folding the solid-angle factor *and* the
+  integrator dividing by `pdf = 1/Area` (`Light.fs:48-59` +
+  `Integrators.fs:130-136`); the direct term multiplied by the *BSDF
+  sample's* weight `(l/pdf_li + indirect) * f/pdf`; lights invisible to
+  camera/BSDF rays; miss = black; no Russian roulette; `max_depth` counts
+  interactions (reference depth 3 => 4 interactions).
+
+Gradients flow to material albedo/emission, light radiance, vertex
+positions, and camera parameters (detached closest-hit selection and
+visibility; reparameterized hit attributes — see `geometry.intersect`).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array, lax
+
+from mafrixraytracing_tpu.core import rng
+from mafrixraytracing_tpu.core.math import dot
+from mafrixraytracing_tpu.core.sampling import uniform_hemisphere
+from mafrixraytracing_tpu.core.types import Rays
+from mafrixraytracing_tpu.geometry import intersect as isect
+from mafrixraytracing_tpu.lights import lights as L
+from mafrixraytracing_tpu.materials.bsdf import (
+    EMISSIVE,
+    eval_bsdf,
+    emitted,
+    sample_bsdf,
+)
+
+RAY_EPS = 1e-3
+
+
+@dataclass(frozen=True)
+class PathTracerConfig:
+    """Static integrator configuration (hashable -> usable as a jit static
+    argument). Replaces the reference's hard-codes: depth 3
+    (`Scene/Scene.fs:304`), shadow epsilon 1e-6 (`Integrators.fs:44,108`)."""
+
+    max_depth: int = 5          # number of surface interactions
+    estimator: str = "physical"  # "physical" | "mafrix"
+    mis: bool = True
+    nee: bool = True
+    rr_start: int = 3           # bounce index where Russian roulette begins
+    rr_enable: bool = True
+    t_min: float = RAY_EPS
+    chunk: int = 1024           # triangle chunk for the jnp intersector
+    backend: str = "auto"       # "auto" | "jnp" | "pallas" — intersection backend
+
+
+def _occluder(scene, config):
+    def occluded_fn(shadow_rays, t_min, t_max):
+        if config.backend in ("auto", "pallas"):
+            from mafrixraytracing_tpu.ops import dispatch
+
+            return dispatch.occluded(scene, shadow_rays, t_min, t_max,
+                                     chunk=config.chunk, backend=config.backend)
+        return isect.occluded(scene, shadow_rays, t_min, t_max, chunk=config.chunk)
+
+    return occluded_fn
+
+
+def _intersect(scene, rays, config):
+    if config.backend in ("auto", "pallas"):
+        from mafrixraytracing_tpu.ops import dispatch
+
+        return dispatch.intersect_scene(scene, rays, config.t_min, 1e8,
+                                        chunk=config.chunk, backend=config.backend)
+    return isect.intersect_scene(scene, rays, config.t_min, 1e8, chunk=config.chunk)
+
+
+def trace_radiance(scene, rays: Rays, keys: Array, config: PathTracerConfig) -> Array:
+    """Estimate radiance for a batch of camera rays. rays: (B, 3) fields,
+    keys: (B,) PRNG keys. Returns (B, 3)."""
+    if config.estimator == "mafrix":
+        return _trace_mafrix(scene, rays, keys, config)
+    return _trace_physical(scene, rays, keys, config)
+
+
+def _trace_physical(scene, rays, keys, config):
+    B = rays.origin.shape[0]
+    throughput = jnp.ones((B, 3), jnp.float32)
+    radiance = jnp.zeros((B, 3), jnp.float32)
+    alive = jnp.ones((B,), bool)
+    prev_pdf = jnp.full((B,), 1.0, jnp.float32)
+    prev_specular = jnp.ones((B,), bool)  # camera "bounce" counts as specular
+    occluded_fn = _occluder(scene, config)
+
+    for bounce in range(config.max_depth):
+        bkey = rng.bounce_key(keys, bounce)
+        hit = _intersect(scene, rays, config)
+
+        # --- miss: constant background, then retire the path ---
+        miss = alive & ~hit.valid
+        radiance = radiance + jnp.where(
+            miss[:, None], throughput * scene.background, 0.0
+        )
+
+        # --- emissive hit (BSDF-sampling side of MIS) ---
+        Le = emitted(scene, hit)
+        hit_light = alive & hit.valid & jnp.any(Le > 0.0, axis=-1)
+        if config.nee and config.mis:
+            # convert the light sampler's area pdf to solid angle at this hit
+            pdf_a = L.light_pdf_area(scene)
+            cos_l = jnp.abs(dot(hit.normal, -rays.direction))
+            pdf_l_sa = pdf_a * hit.t**2 / jnp.maximum(cos_l, 1e-8)
+            w_bsdf = prev_pdf**2 / jnp.maximum(prev_pdf**2 + pdf_l_sa**2, 1e-20)
+            w = jnp.where(prev_specular, 1.0, w_bsdf)
+        elif config.nee:
+            # NEE-only: emission counted solely after specular chains
+            w = jnp.where(prev_specular, 1.0, 0.0)
+        else:
+            w = jnp.ones((B,), jnp.float32)
+        radiance = radiance + jnp.where(
+            hit_light[:, None], throughput * Le * w[:, None], 0.0
+        )
+
+        alive = alive & hit.valid & (scene.mat_type[hit.material] != EMISSIVE)
+        wo = -rays.direction
+
+        # --- next-event estimation ---
+        if config.nee:
+            direct = L.nee_area(
+                scene, hit, wo, bkey, occluded_fn, mis=config.mis
+            ) + L.nee_point(scene, hit, wo, occluded_fn)
+            radiance = radiance + jnp.where(
+                alive[:, None], throughput * direct, 0.0
+            )
+
+        # --- BSDF sample & bounce ---
+        bs = sample_bsdf(scene, hit, wo, bkey)
+        throughput = throughput * bs.weight
+        alive = alive & bs.valid & jnp.any(throughput > 0.0, axis=-1)
+        prev_pdf = bs.pdf
+        prev_specular = bs.specular
+
+        offset_n = jnp.where(dot(hit.normal, bs.wi)[:, None] >= 0.0, 1.0, -1.0) * hit.normal
+        rays = Rays(origin=hit.point + offset_n * RAY_EPS, direction=bs.wi)
+
+        # --- Russian roulette (differentiable via detached probability,
+        # replaces the reference's fixed depth cut `Scene/Scene.fs:304`) ---
+        if config.rr_enable and bounce >= config.rr_start:
+            p = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 0.95)
+            p = lax.stop_gradient(p)
+            u = rng.uniforms(bkey, 99)
+            survive = u < p
+            throughput = throughput / p[:, None]
+            alive = alive & survive
+
+        throughput = jnp.where(alive[:, None], throughput, 0.0)
+
+    return radiance
+
+
+def _trace_mafrix(scene, rays, keys, config):
+    """Reference-parity estimator — see module docstring for the exact
+    factorization being reproduced (`Integrators.fs:107-138`)."""
+    B = rays.origin.shape[0]
+    throughput = jnp.ones((B, 3), jnp.float32)
+    radiance = jnp.zeros((B, 3), jnp.float32)
+    alive = jnp.ones((B,), bool)
+    occluded_fn = _occluder(scene, config)
+    total_area = scene.light_total_area
+
+    for bounce in range(config.max_depth):
+        bkey = rng.bounce_key(keys, bounce)
+        hit = _intersect(scene, rays, config)
+        alive = alive & hit.valid
+        wo = -rays.direction
+
+        # BSDF sample first: its weight multiplies both the direct term and
+        # the recursion, exactly like `(l/pdf + TraceRay(...)) * col / pdf`.
+        bs = sample_bsdf(scene, hit, wo, bkey, uniform_lambert=True)
+        throughput = jnp.where(
+            alive[:, None], throughput * bs.weight, throughput
+        )
+
+        # Direct light with the reference's Area^2 fold:
+        # l/pdf_li = cos_s * I * |cos_l| * Area^2 / d^2 (`Light.fs:48-59`).
+        ls = L.sample_area_lights(scene, bkey, hit.t.shape)
+        to_l = ls.point - hit.point
+        d2 = jnp.maximum(dot(to_l, to_l), 1e-12)
+        dist = jnp.sqrt(d2)
+        wl = to_l / dist[:, None]
+        cos_s = dot(hit.normal, wl)
+        cos_l = dot(ls.normal, -wl)
+        shadow = Rays(origin=hit.point + hit.normal * L.SHADOW_EPS, direction=wl)
+        blocked = occluded_fn(shadow, L.SHADOW_EPS, dist - L.SHADOW_EPS)
+        direct = (
+            ls.radiance
+            * (cos_s * jnp.abs(cos_l) * total_area**2 / d2)[:, None]
+        )
+        direct_ok = (
+            alive & ls.valid & ~blocked & (cos_l > 0.0) & (cos_s > 0.0)
+        )
+        radiance = radiance + jnp.where(
+            direct_ok[:, None], throughput * direct, 0.0
+        )
+
+        alive = alive & bs.valid
+        offset_n = jnp.where(dot(hit.normal, bs.wi)[:, None] >= 0.0, 1.0, -1.0) * hit.normal
+        rays = Rays(origin=hit.point + offset_n * RAY_EPS, direction=bs.wi)
+        throughput = jnp.where(alive[:, None], throughput, 0.0)
+
+    return radiance
+
+
+def trace_stats(scene, rays: Rays, keys: Array, config: PathTracerConfig) -> Array:
+    """Count useful ray queries (closest-hit + shadow) for one wavefront —
+    the measured ray accounting used by bench.py. Mirrors the physical
+    estimator's control flow without shading."""
+    B = rays.origin.shape[0]
+    alive = jnp.ones((B,), bool)
+    queries = jnp.zeros((), jnp.float32)
+    occluded_fn = _occluder(scene, config)
+
+    for bounce in range(config.max_depth):
+        bkey = rng.bounce_key(keys, bounce)
+        queries = queries + jnp.sum(alive)  # closest-hit queries this bounce
+        hit = _intersect(scene, rays, config)
+        alive = alive & hit.valid & (scene.mat_type[hit.material] != EMISSIVE)
+        if config.nee:
+            queries = queries + jnp.sum(alive)  # shadow rays
+        bs = sample_bsdf(scene, hit, -rays.direction, bkey)
+        alive = alive & bs.valid
+        offset_n = (
+            jnp.where(dot(hit.normal, bs.wi)[:, None] >= 0.0, 1.0, -1.0) * hit.normal
+        )
+        rays = Rays(origin=hit.point + offset_n * RAY_EPS, direction=bs.wi)
+        if config.rr_enable and bounce >= config.rr_start:
+            u = rng.uniforms(bkey, 99)
+            alive = alive & (u < 0.8)  # approximate RR survival for counting
+    return queries
+
+
+# ---------------------------------------------------------------------------
+# Pixel sampling / full-frame rendering
+# ---------------------------------------------------------------------------
+
+
+def make_pixel_uv(width: int, height: int):
+    """Flat pixel-center grid: u along +x (columns), v along +y downward
+    (rows), matching `PixelIntegrator.Sample` (`Integrators.fs:161-171`)."""
+    j, i = jnp.meshgrid(
+        jnp.arange(height, dtype=jnp.float32),
+        jnp.arange(width, dtype=jnp.float32),
+        indexing="ij",
+    )
+    return i.reshape(-1), j.reshape(-1)
+
+
+@partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
+def render_image(
+    scene,
+    camera,
+    width: int,
+    height: int,
+    spp: int,
+    key: Array,
+    config: PathTracerConfig = PathTracerConfig(),
+) -> Array:
+    """Render a full frame: (height, width, 3) linear radiance, averaged over
+    `spp` jittered samples per pixel. One jit; the spp loop is a `lax.scan`
+    so compile time is O(1) in spp."""
+    px, py = make_pixel_uv(width, height)
+    B = px.shape[0]
+    base_keys = rng.pixel_keys(key, B)
+
+    def one_sample(acc, s):
+        skeys = rng.sample_key(base_keys, s)
+        jit_uv = rng.uniforms(skeys, 1000, (2,))
+        lens_uv = rng.uniforms(skeys, 1001, (2,))
+        u = (px + jit_uv[:, 0]) / width
+        v = (py + jit_uv[:, 1]) / height
+        rays = camera.get_rays(u, v, lens_uv=lens_uv)
+        rad = trace_radiance(scene, rays, skeys, config)
+        return acc + rad, None
+
+    acc, _ = lax.scan(one_sample, jnp.zeros((B, 3), jnp.float32), jnp.arange(spp))
+    img = acc / spp
+    return img.reshape(height, width, 3)
+
+
+def render_sample_batch(scene, camera, width, height, sample_idx, key, config):
+    """One 1-spp pass over all pixels (the progressive-film unit of work,
+    reference `Film.GetFrame(integrator, 1)` at `Scene/Scene.fs:332`).
+    Returns flat (W*H, 3)."""
+    px, py = make_pixel_uv(width, height)
+    B = px.shape[0]
+    base_keys = rng.pixel_keys(key, B)
+    skeys = rng.sample_key(base_keys, sample_idx)
+    jit_uv = rng.uniforms(skeys, 1000, (2,))
+    lens_uv = rng.uniforms(skeys, 1001, (2,))
+    u = (px + jit_uv[:, 0]) / width
+    v = (py + jit_uv[:, 1]) / height
+    rays = camera.get_rays(u, v, lens_uv=lens_uv)
+    return trace_radiance(scene, rays, skeys, config)

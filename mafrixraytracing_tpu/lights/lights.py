@@ -1,0 +1,147 @@
+"""Light sampling and next-event estimation.
+
+Replaces `INewLight` / `NewAreaLight` / `NewPointLight`
+(`Core/Lights/Light.fs:9-64`) and `SingleDirectLightIntegrator`
+(`Core/Integrator/Integrators.fs:20-54`) with batched, differentiable array
+ops over the scene's light table:
+
+- Area lights are triangle sets; a point is drawn by area-weighted CDF
+  inversion over the table, then sqrt-warp barycentrics on the chosen
+  triangle (the reference warps the same way, `Core/Shape/Trangle.fs:157-169`,
+  but picks the rect's two triangles *uniformly* — a bug for uneven splits,
+  `Core/Shape/Rect.fs:33-38`; the CDF fixes that and generalizes to N lights,
+  which the reference only sketched in `RandomDirectLightIntegrator`).
+- Shadow rays are detached any-hit queries (visibility is not
+  differentiated), with the reference's epsilon protocol
+  (`bvh.Hit(p, dir, 1e-6, dist - 1e-6)`, `Integrators.fs:44`).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import Array
+
+from mafrixraytracing_tpu.core import rng
+from mafrixraytracing_tpu.core.math import dot, normalize
+from mafrixraytracing_tpu.core.sampling import uniform_triangle
+from mafrixraytracing_tpu.core.types import Rays
+from mafrixraytracing_tpu.materials.bsdf import eval_bsdf
+
+SHADOW_EPS = 1e-3
+
+
+class LightSample(struct.PyTreeNode):
+    point: Array      # (..., 3) sampled point on a light
+    normal: Array     # (..., 3) light-surface normal at the point
+    radiance: Array   # (..., 3) emitted radiance toward the shading point
+    pdf_area: Array   # (...,) area-measure pdf of the sample
+    two_sided: Array  # (...,) bool — emitter radiates from both faces
+    valid: Array      # (...,) bool — scene has any area light
+
+
+def sample_area_lights(scene, key: Array, batch_shape) -> LightSample:
+    """Draw one point on the scene's area lights per batch element."""
+    u_pick = rng.uniforms(key, 10)
+    u_bary = rng.uniforms(key, 11, (2,))
+    # CDF inversion over light triangles (L is small; searchsorted is fine)
+    li = jnp.searchsorted(scene.light_cdf, u_pick, side="right")
+    li = jnp.clip(li, 0, scene.light_v0.shape[0] - 1).astype(jnp.int32)
+    b = uniform_triangle(u_bary)
+    v0 = scene.light_v0[li]
+    p = v0 + b[..., 0:1] * scene.light_e1[li] + b[..., 1:2] * scene.light_e2[li]
+    pdf_area = jnp.where(
+        scene.light_total_area > 0.0, 1.0 / jnp.maximum(scene.light_total_area, 1e-12), 0.0
+    )
+    pdf_area = jnp.broadcast_to(pdf_area, batch_shape)
+    any_light = jnp.any(scene.light_mask)
+    return LightSample(
+        point=p,
+        normal=scene.light_normal[li],
+        radiance=scene.light_radiance[li],
+        pdf_area=pdf_area,
+        two_sided=scene.light_two_sided[li],
+        valid=jnp.broadcast_to(any_light, batch_shape) & scene.light_mask[li],
+    )
+
+
+def light_pdf_area(scene) -> Array:
+    """Area pdf of the CDF sampler — uniform over total emitter area, so it
+    is the same scalar for every emitter (used to convert an emissive BSDF
+    hit into the light sampler's pdf for MIS)."""
+    return jnp.where(
+        scene.light_total_area > 0.0,
+        1.0 / jnp.maximum(scene.light_total_area, 1e-12),
+        0.0,
+    )
+
+
+def nee_area(scene, hit, wo, key, occluded_fn, mis: bool = True):
+    """Next-event estimation against area lights. Returns the direct-light
+    radiance estimate (..., 3), zero where shadowed/invalid.
+
+    Physical estimator: f * cos_s * Le * cos_l / (d^2 * pdf_A), with the
+    power-2 MIS heuristic against the BSDF pdf when `mis` (the reference
+    comments "MIS" at `Integrators.fs:134` but never weights; see
+    `integrator.path` for its parity mode).
+    """
+    ls = sample_area_lights(scene, key, hit.t.shape)
+    to_l = ls.point - hit.point
+    d2 = jnp.maximum(dot(to_l, to_l), 1e-12)
+    dist = jnp.sqrt(d2)
+    wl = to_l / dist[..., None]
+
+    cos_s = dot(hit.normal, wl)
+    cos_l = dot(ls.normal, -wl)
+    # one-sided lights only illuminate points on their front side
+    facing = jnp.where(ls.two_sided, cos_l != 0.0, cos_l > 0.0)
+    cos_l_eff = jnp.abs(cos_l)
+
+    f, pdf_b = eval_bsdf(scene, hit, wo, wl)
+    candidate = (
+        ls.valid
+        & hit.valid
+        & (cos_s > 0.0)
+        & facing
+        & (ls.pdf_area > 0.0)
+        & jnp.any(f > 0.0, axis=-1)
+    )
+
+    shadow_rays = Rays(origin=hit.point + hit.normal * SHADOW_EPS, direction=wl)
+    blocked = occluded_fn(shadow_rays, SHADOW_EPS, dist - SHADOW_EPS)
+    vis = candidate & ~blocked
+
+    geom = cos_l_eff / d2
+    contrib = f * (cos_s * geom / jnp.maximum(ls.pdf_area, 1e-12))[..., None] * ls.radiance
+
+    if mis:
+        pdf_l_sa = ls.pdf_area * d2 / jnp.maximum(cos_l_eff, 1e-8)
+        w = pdf_l_sa**2 / jnp.maximum(pdf_l_sa**2 + pdf_b**2, 1e-20)
+        contrib = contrib * w[..., None]
+
+    return jnp.where(vis[..., None], contrib, 0.0)
+
+
+def nee_point(scene, hit, wo, occluded_fn):
+    """Direct lighting from point lights (reference `NewPointLight`,
+    `Core/Lights/Light.fs:9-29`: radiance intensity/d^2; its `Sample_Li` was
+    stubbed to zeros — here point lights actually work). Sums over the
+    (small, padded) point-light table; delta lights take no MIS."""
+    P = scene.plight_pos.shape[0]
+    total = jnp.zeros(hit.point.shape, jnp.float32)
+    for i in range(P):
+        to_l = scene.plight_pos[i] - hit.point
+        d2 = jnp.maximum(dot(to_l, to_l), 1e-12)
+        dist = jnp.sqrt(d2)
+        wl = to_l / dist[..., None]
+        cos_s = dot(hit.normal, wl)
+        f, _ = eval_bsdf(scene, hit, wo, wl)
+        candidate = (
+            scene.plight_mask[i] & hit.valid & (cos_s > 0.0) & jnp.any(f > 0.0, axis=-1)
+        )
+        shadow_rays = Rays(origin=hit.point + hit.normal * SHADOW_EPS, direction=wl)
+        blocked = occluded_fn(shadow_rays, SHADOW_EPS, dist - SHADOW_EPS)
+        vis = candidate & ~blocked
+        contrib = f * (cos_s / d2)[..., None] * scene.plight_intensity[i]
+        total = total + jnp.where(vis[..., None], contrib, 0.0)
+    return total

@@ -1,0 +1,146 @@
+"""Table-driven BSDFs: lambert / metal / dielectric / emissive.
+
+Replaces the reference's `IMaterial`/`IBxdf` class zoo
+(`Core/Materials/Material.fs:29-125`) with a material *table* (see
+`ScenePytree.mat_*`) indexed per hit — the SIMD analog of
+`MaterialManager[hit.materialIndex]` (`Core/Integrator/Integrators.fs:118`).
+All material branches are evaluated arithmetically and blended with
+`jnp.where` on the type id: on TPU this is far cheaper than divergent
+control flow, and it keeps the whole shader differentiable.
+
+Conventions: `wo` points *away* from the surface (toward the previous
+vertex); `n` is the shading normal oriented against the incident ray;
+`sample` returns `weight = f * cos / pdf` directly (for every lobe here this
+collapses to `albedo`-like terms, which is also exactly the fold the
+reference does in `LambertianBrdf.SampleF`, `Material.fs:33-36`).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import Array
+
+from mafrixraytracing_tpu.core import rng
+from mafrixraytracing_tpu.core.math import (
+    dot,
+    fresnel_dielectric,
+    normalize,
+    reflect,
+    refract,
+)
+from mafrixraytracing_tpu.core.sampling import (
+    cosine_hemisphere,
+    fuzz_sphere,
+    uniform_hemisphere,
+)
+
+LAMBERT, METAL, DIELECTRIC, EMISSIVE = 0, 1, 2, 3
+INV_PI = 1.0 / jnp.pi
+
+
+class BsdfSample(struct.PyTreeNode):
+    wi: Array        # (..., 3) sampled direction (unit)
+    weight: Array    # (..., 3) f * cos / pdf
+    pdf: Array       # (...,) solid-angle pdf (1.0 for delta lobes)
+    specular: Array  # (...,) bool — delta lobe (skip MIS/NEE eval)
+    valid: Array     # (...,) bool — sample usable
+
+
+def sample_bsdf(scene, hit, wo: Array, key: Array, uniform_lambert: bool = False) -> BsdfSample:
+    """Sample a scattering direction for every ray in the batch.
+
+    `uniform_lambert=True` reproduces the reference's uniform-hemisphere
+    lambert sampling (`Material.fs:33-36`: pdf folded weight
+    `albedo/pi * cos * 2pi`); default is cosine-weighted (same estimator
+    expectation, lower variance).
+    """
+    m = hit.material
+    mtype = scene.mat_type[m]
+    albedo = scene.mat_albedo[m]
+    fuzz = scene.mat_fuzz[m]
+    ior = scene.mat_ior[m]
+    n = hit.normal
+    d = -wo  # incident propagation direction
+
+    u_l = rng.uniforms(key, 0, (2,))
+    u_f = rng.uniforms(key, 1, (3,))
+    u_c = rng.uniforms(key, 2)
+
+    # --- lambert ---
+    if uniform_lambert:
+        wi_lam = uniform_hemisphere(u_l, n)
+        cos_lam = jnp.maximum(dot(wi_lam, n), 0.0)
+        pdf_lam = jnp.full_like(cos_lam, 1.0 / (2.0 * jnp.pi))
+        w_lam = albedo * (2.0 * cos_lam)[..., None]  # (a/pi)*cos/(1/2pi)
+    else:
+        wi_lam, pdf_lam = cosine_hemisphere(u_l, n)
+        cos_lam = jnp.maximum(dot(wi_lam, n), 0.0)
+        w_lam = albedo  # (a/pi)*cos/(cos/pi)
+
+    # --- metal (mirror + fuzz perturbation, reference `Material.fs:58-72`) ---
+    refl = reflect(d, n)
+    wi_met = normalize(refl + fuzz[..., None] * fuzz_sphere(u_f))
+    met_ok = dot(wi_met, n) > 0.0
+    w_met = albedo
+
+    # --- dielectric (Fresnel reflect/refract, reference `Material.fs:74-125`) ---
+    cos_i = jnp.clip(-dot(d, n), 0.0, 1.0)
+    eta_i = jnp.where(hit.front_face, 1.0, ior)
+    eta_t = jnp.where(hit.front_face, ior, 1.0)
+    fr = fresnel_dielectric(cos_i, eta_i, eta_t)
+    ref_ok, refr = refract(d, n, eta_i / eta_t)
+    refr = normalize(refr)
+    choose_reflect = (u_c < fr) | ~ref_ok
+    wi_die = jnp.where(choose_reflect[..., None], reflect(d, n), refr)
+    w_die = albedo  # usually (1,1,1); RR between lobes cancels Fresnel weight
+
+    is_lam = mtype == LAMBERT
+    is_met = mtype == METAL
+    is_die = mtype == DIELECTRIC
+
+    wi = jnp.where(
+        is_lam[..., None], wi_lam, jnp.where(is_met[..., None], wi_met, wi_die)
+    )
+    weight = jnp.where(
+        is_lam[..., None], w_lam, jnp.where(is_met[..., None], w_met, w_die)
+    )
+    pdf = jnp.where(is_lam, pdf_lam, 1.0)
+    specular = is_met | is_die
+    valid = jnp.where(
+        is_lam, cos_lam > 0.0, jnp.where(is_met, met_ok, is_die)
+    )
+    return BsdfSample(wi=wi, weight=weight, pdf=pdf, specular=specular, valid=valid)
+
+
+def eval_bsdf(scene, hit, wo: Array, wi: Array):
+    """Evaluate (f, pdf) for a given direction — used by NEE/MIS. Delta lobes
+    (metal/dielectric) return zero: they cannot be hit by light sampling."""
+    m = hit.material
+    mtype = scene.mat_type[m]
+    albedo = scene.mat_albedo[m]
+    n = hit.normal
+    cos_wi = dot(wi, n)
+    same_side = cos_wi > 0.0
+    is_lam = mtype == LAMBERT
+    f = jnp.where(
+        (is_lam & same_side)[..., None], albedo * INV_PI, 0.0
+    )
+    pdf = jnp.where(is_lam & same_side, jnp.maximum(cos_wi, 0.0) * INV_PI, 0.0)
+    return f, pdf
+
+
+def emitted(scene, hit):
+    """Emitted radiance at a hit (reference `IMaterial.Emit`,
+    `Core/Interfaces/IMaterial.fs:18` — always black there; here emissive
+    materials actually emit, making lights visible to camera/BSDF rays).
+    One-sided by default: only the front face emits, matching the facing
+    check in `NewAreaLight.L` (`Core/Lights/Light.fs:48-56`)."""
+    m = hit.material
+    Le = scene.mat_emission[m]
+    lid = scene.tri_light[jnp.clip(hit.prim_idx, 0, scene.tri_v0.shape[0] - 1)]
+    two_sided = jnp.where(
+        lid >= 0, scene.light_two_sided[jnp.clip(lid, 0, scene.light_v0.shape[0] - 1)], False
+    )
+    emits = hit.front_face | two_sided
+    return jnp.where((hit.valid & emits)[..., None], Le, 0.0)

@@ -1,0 +1,49 @@
+"""Intersection backend dispatch: Pallas TPU kernels vs. jnp reference.
+
+The jnp path (`geometry.intersect`) is always correct and differentiable;
+the Pallas path accelerates the closest-hit *search* on TPU and reuses the
+same differentiable attribute recompute for gradients. `backend="auto"`
+selects Pallas on TPU when the scene fits its kernel's assumptions, else
+falls back to jnp.
+"""
+from __future__ import annotations
+
+import jax
+
+from mafrixraytracing_tpu.core.types import Rays
+from mafrixraytracing_tpu.geometry import intersect as isect
+
+
+def _pallas_available() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _use_pallas(scene, backend: str) -> bool:
+    if backend == "jnp":
+        return False
+    from mafrixraytracing_tpu.ops import intersect_pallas
+
+    ok = intersect_pallas.supports(scene)
+    if backend == "pallas":
+        return ok
+    return ok and _pallas_available()
+
+
+def intersect_scene(scene, rays: Rays, t_min, t_max, chunk=1024, backend="auto"):
+    if _use_pallas(scene, backend):
+        from mafrixraytracing_tpu.ops import intersect_pallas
+
+        t, idx = intersect_pallas.find_closest(scene, rays, t_min, t_max)
+        return isect.hit_attributes(scene, rays, idx, t)
+    return isect.intersect_scene(scene, rays, t_min, t_max, chunk=chunk)
+
+
+def occluded(scene, rays: Rays, t_min, t_max, chunk=1024, backend="auto"):
+    if _use_pallas(scene, backend):
+        from mafrixraytracing_tpu.ops import intersect_pallas
+
+        return intersect_pallas.occluded(scene, rays, t_min, t_max)
+    return isect.occluded(scene, rays, t_min, t_max, chunk=chunk)

@@ -1,0 +1,131 @@
+"""Inverse rendering: fit scene parameters to target images by gradient
+descent through the differentiable renderer.
+
+This subsystem has no analog in the reference (it is forward-only); it is the
+north-star capability: pixel gradients flow to material albedo/emission,
+light radiance, and vertex positions (BASELINE.md targets). The training
+step is shard_map-parallel over the ray axis: every device renders its pixel
+shard of the loss, gradients for the replicated scene parameters are
+`psum`-reduced over ICI, and each device applies the identical optimizer
+update — the renderer's equivalent of data-parallel training.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from mafrixraytracing_tpu.integrator.path import PathTracerConfig
+from mafrixraytracing_tpu.parallel.mesh import RAY_AXIS
+from mafrixraytracing_tpu.parallel.render import _render_flat_pixels
+
+
+def apply_params(scene, params: dict):
+    """Overlay a dict of optimizable leaves onto the scene pytree. Keys are
+    ScenePytree field names (e.g. 'mat_albedo', 'light_radiance', 'tri_v0')."""
+    updates = dict(params)
+    if "mat_albedo" in updates:
+        updates["mat_albedo"] = jnp.clip(updates["mat_albedo"], 0.0, 1.0)
+    return scene.replace(**updates)
+
+
+def extract_params(scene, names) -> dict:
+    return {n: getattr(scene, n) for n in names}
+
+
+def image_loss(img, target):
+    """Relative-L2 loss (standard for HDR renders: divides out brightness so
+    bright pixels don't dominate)."""
+    d = img - target
+    return jnp.mean(d * d / (lax.stop_gradient(img) ** 2 + 1e-2))
+
+
+def make_train_step(
+    mesh: Mesh,
+    optimizer: optax.GradientTransformation,
+    width: int,
+    height: int,
+    spp: int,
+    config: PathTracerConfig = PathTracerConfig(),
+):
+    """Build a jitted, mesh-parallel train step:
+        (params, opt_state, scene, camera, target, key)
+            -> (params, opt_state, loss)
+    `target` is the (H, W, 3) linear-radiance target image."""
+
+    n_dev = mesh.shape[RAY_AXIS]
+    B = width * height
+    B_pad = ((B + n_dev - 1) // n_dev) * n_dev
+
+    def loss_fn(params, scene, camera, ids, target_flat, key):
+        s = apply_params(scene, params)
+        img = _render_flat_pixels(s, camera, ids, width, height, spp, key, config)
+        return image_loss(img, target_flat)
+
+    def shard_step(params, opt_state, scene, camera, ids, target_flat, key):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, scene, camera, ids, target_flat, key
+        )
+        # data-parallel gradient all-reduce over the ray axis (ICI)
+        grads = lax.pmean(grads, RAY_AXIS)
+        loss = lax.pmean(loss, RAY_AXIS)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    sharded = shard_map(
+        shard_step,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS), P()),
+        out_specs=(P(), P(), P()),
+        check_rep=False,
+    )
+
+    @jax.jit
+    def train_step(params, opt_state, scene, camera, target, key):
+        ids = jnp.arange(B_pad, dtype=jnp.int32) % B
+        tflat = target.reshape(B, 3)
+        tflat = jnp.concatenate([tflat, tflat[: B_pad - B]], axis=0)
+        return sharded(params, opt_state, scene, camera, ids, tflat, key)
+
+    return train_step
+
+
+def fit(
+    scene,
+    camera,
+    target,
+    param_names,
+    mesh: Mesh,
+    steps: int = 100,
+    lr: float = 5e-2,
+    spp: int = 4,
+    key=None,
+    config: PathTracerConfig = PathTracerConfig(),
+    callback=None,
+):
+    """Optimize `param_names` of `scene` so its render matches `target`.
+    Returns (fitted_scene, losses)."""
+    if key is None:
+        key = jax.random.key(0)
+    h, w = target.shape[:2]
+    params = extract_params(scene, param_names)
+    optimizer = optax.adam(lr)
+    opt_state = optimizer.init(params)
+    step_fn = make_train_step(mesh, optimizer, w, h, spp, config)
+
+    losses = []
+    for i in range(steps):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step_fn(
+            params, opt_state, scene, camera, target, sub
+        )
+        losses.append(float(loss))
+        if callback is not None:
+            callback(i, float(loss), params)
+    return apply_params(scene, params), losses

@@ -1,0 +1,61 @@
+"""Multi-device tests on the virtual 8-CPU mesh (SURVEY §4): sharded render
+must equal single-device render bit-for-bit (RNG keys are positional)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mafrixraytracing_tpu.integrator.path import PathTracerConfig
+from mafrixraytracing_tpu.parallel.mesh import make_mesh
+from mafrixraytracing_tpu.parallel.render import (
+    _render_flat_pixels,
+    render_image_sharded,
+    render_spp_sharded,
+)
+from mafrixraytracing_tpu.scene.builtin import cornell_box
+from mafrixraytracing_tpu.scene.compiler import compile_scene
+
+CFG = PathTracerConfig(backend="jnp", max_depth=3, rr_enable=False)
+W = H = 16
+
+
+def _scene():
+    cs = compile_scene(cornell_box(width=W, height=H))
+    return cs.scene, cs.camera
+
+
+def test_sharded_matches_single_device():
+    scene, camera = _scene()
+    key = jax.random.key(11)
+    mesh8 = make_mesh(8)
+    mesh1 = make_mesh(1)
+    img8 = render_image_sharded(scene, camera, mesh8, W, H, 2, key, CFG)
+    img1 = render_image_sharded(scene, camera, mesh1, W, H, 2, key, CFG)
+    np.testing.assert_array_equal(np.asarray(img8), np.asarray(img1))
+
+
+def test_sharded_matches_unsharded_reference():
+    scene, camera = _scene()
+    key = jax.random.key(11)
+    mesh8 = make_mesh(8)
+    img8 = render_image_sharded(scene, camera, mesh8, W, H, 2, key, CFG)
+    ids = jnp.arange(W * H, dtype=jnp.int32)
+    ref = _render_flat_pixels(scene, camera, ids, W, H, 2, key, CFG).reshape(H, W, 3)
+    np.testing.assert_array_equal(np.asarray(img8), np.asarray(ref))
+
+
+def test_spp_sharded_runs_and_averages():
+    scene, camera = _scene()
+    mesh8 = make_mesh(8)
+    img = render_spp_sharded(scene, camera, mesh8, W, H, 1, jax.random.key(3), CFG)
+    assert img.shape == (H, W, 3)
+    assert np.isfinite(np.asarray(img)).all()
+    assert float(img.max()) > 0.0
+
+
+def test_nondivisible_pixel_count():
+    scene, camera = _scene()
+    mesh = make_mesh(8)
+    # 15x15 = 225 pixels, not divisible by 8 -> padding path
+    img = render_image_sharded(scene, camera, mesh, 15, 15, 1, jax.random.key(0), CFG)
+    assert img.shape == (15, 15, 3)
+    assert np.isfinite(np.asarray(img)).all()
