@@ -20,7 +20,9 @@ from __future__ import annotations
 
 import numpy as np
 
-CLUSTER_SIZE = 64
+# 128 = TPU lane width: the Pallas kernel tests one cluster (sublanes)
+# against one ray tile (lanes) as a single (128, 128) vector op.
+CLUSTER_SIZE = 128
 SUPER_FACTOR = 16  # clusters per supercluster
 
 _EMPTY_MIN = np.float32(3e38)

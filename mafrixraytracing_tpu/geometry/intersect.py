@@ -210,9 +210,14 @@ def hit_attributes(scene, rays: Rays, prim_idx: Array, t_hint: Array) -> Hit:
     n_sph = (p_sph - c) / jnp.maximum(r, 1e-8)[..., None]
     sph_mat = scene.sph_mat[sph_i]
     # uv: spherical coordinates (for textures; reference sample
-    # `RayTracing.fs` textures spheres the same way)
-    phi = jnp.arctan2(n_sph[..., 2], n_sph[..., 0])
-    theta = jnp.arccos(jnp.clip(n_sph[..., 1], -1.0, 1.0))
+    # `RayTracing.fs` textures spheres the same way). Guards: arccos has an
+    # infinite gradient at +-1 and arctan2 is NaN-grad at (0,0); clamp away
+    # from both so masked non-sphere lanes cannot poison the backward pass.
+    nx = n_sph[..., 0]
+    nz = n_sph[..., 2]
+    deg = (nx * nx + nz * nz) < 1e-12
+    phi = jnp.arctan2(nz, jnp.where(deg, 1.0, nx))
+    theta = jnp.arccos(jnp.clip(n_sph[..., 1], -1.0 + 1e-6, 1.0 - 1e-6))
     uv_sph = jnp.stack(
         [0.5 + phi / (2.0 * jnp.pi), theta / jnp.pi], axis=-1
     )

@@ -81,13 +81,16 @@ def _occluder(scene, config):
     return occluded_fn
 
 
-def _intersect(scene, rays, config):
+def _intersect(scene, rays, config, alive=None):
+    # dead lanes get t_max = 0: the Pallas cull then excludes every cluster
+    # for them, so retired paths cost (nearly) nothing in later bounces
+    t_max = 1e8 if alive is None else jnp.where(alive, 1e8, 0.0)
     if config.backend in ("auto", "pallas"):
         from mafrixraytracing_tpu.ops import dispatch
 
-        return dispatch.intersect_scene(scene, rays, config.t_min, 1e8,
+        return dispatch.intersect_scene(scene, rays, config.t_min, t_max,
                                         chunk=config.chunk, backend=config.backend)
-    return isect.intersect_scene(scene, rays, config.t_min, 1e8, chunk=config.chunk)
+    return isect.intersect_scene(scene, rays, config.t_min, t_max, chunk=config.chunk)
 
 
 def trace_radiance(scene, rays: Rays, keys: Array, config: PathTracerConfig) -> Array:
@@ -99,17 +102,16 @@ def trace_radiance(scene, rays: Rays, keys: Array, config: PathTracerConfig) -> 
 
 
 def _trace_physical(scene, rays, keys, config):
+    """The bounce loop runs as a `lax.scan` so the jaxpr (and compile time,
+    especially of the backward pass) is O(1) in max_depth — the wavefront
+    form of the reference's recursion."""
     B = rays.origin.shape[0]
-    throughput = jnp.ones((B, 3), jnp.float32)
-    radiance = jnp.zeros((B, 3), jnp.float32)
-    alive = jnp.ones((B,), bool)
-    prev_pdf = jnp.full((B,), 1.0, jnp.float32)
-    prev_specular = jnp.ones((B,), bool)  # camera "bounce" counts as specular
     occluded_fn = _occluder(scene, config)
 
-    for bounce in range(config.max_depth):
+    def bounce_step(carry, bounce):
+        rays, throughput, radiance, alive, prev_pdf, prev_specular = carry
         bkey = rng.bounce_key(keys, bounce)
-        hit = _intersect(scene, rays, config)
+        hit = _intersect(scene, rays, config, alive=alive)
 
         # --- miss: constant background, then retire the path ---
         miss = alive & ~hit.valid
@@ -152,24 +154,38 @@ def _trace_physical(scene, rays, keys, config):
         bs = sample_bsdf(scene, hit, wo, bkey)
         throughput = throughput * bs.weight
         alive = alive & bs.valid & jnp.any(throughput > 0.0, axis=-1)
-        prev_pdf = bs.pdf
-        prev_specular = bs.specular
 
-        offset_n = jnp.where(dot(hit.normal, bs.wi)[:, None] >= 0.0, 1.0, -1.0) * hit.normal
+        offset_n = (
+            jnp.where(dot(hit.normal, bs.wi)[:, None] >= 0.0, 1.0, -1.0) * hit.normal
+        )
         rays = Rays(origin=hit.point + offset_n * RAY_EPS, direction=bs.wi)
 
         # --- Russian roulette (differentiable via detached probability,
         # replaces the reference's fixed depth cut `Scene/Scene.fs:304`) ---
-        if config.rr_enable and bounce >= config.rr_start:
+        if config.rr_enable:
             p = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 0.95)
             p = lax.stop_gradient(p)
+            rr_on = bounce >= config.rr_start
+            p = jnp.where(rr_on, p, 1.0)
             u = rng.uniforms(bkey, 99)
-            survive = u < p
+            survive = ~rr_on | (u < p)
             throughput = throughput / p[:, None]
             alive = alive & survive
 
         throughput = jnp.where(alive[:, None], throughput, 0.0)
+        return (rays, throughput, radiance, alive, bs.pdf, bs.specular), None
 
+    init = (
+        rays,
+        jnp.ones((B, 3), jnp.float32),
+        jnp.zeros((B, 3), jnp.float32),
+        jnp.ones((B,), bool),
+        jnp.full((B,), 1.0, jnp.float32),
+        jnp.ones((B,), bool),  # camera "bounce" counts as specular
+    )
+    (_, _, radiance, _, _, _), _ = lax.scan(
+        bounce_step, init, jnp.arange(config.max_depth)
+    )
     return radiance
 
 
@@ -177,15 +193,13 @@ def _trace_mafrix(scene, rays, keys, config):
     """Reference-parity estimator — see module docstring for the exact
     factorization being reproduced (`Integrators.fs:107-138`)."""
     B = rays.origin.shape[0]
-    throughput = jnp.ones((B, 3), jnp.float32)
-    radiance = jnp.zeros((B, 3), jnp.float32)
-    alive = jnp.ones((B,), bool)
     occluded_fn = _occluder(scene, config)
     total_area = scene.light_total_area
 
-    for bounce in range(config.max_depth):
+    def bounce_step(carry, bounce):
+        rays, throughput, radiance, alive = carry
         bkey = rng.bounce_key(keys, bounce)
-        hit = _intersect(scene, rays, config)
+        hit = _intersect(scene, rays, config, alive=alive)
         alive = alive & hit.valid
         wo = -rays.direction
 
@@ -219,10 +233,20 @@ def _trace_mafrix(scene, rays, keys, config):
         )
 
         alive = alive & bs.valid
-        offset_n = jnp.where(dot(hit.normal, bs.wi)[:, None] >= 0.0, 1.0, -1.0) * hit.normal
+        offset_n = (
+            jnp.where(dot(hit.normal, bs.wi)[:, None] >= 0.0, 1.0, -1.0) * hit.normal
+        )
         rays = Rays(origin=hit.point + offset_n * RAY_EPS, direction=bs.wi)
         throughput = jnp.where(alive[:, None], throughput, 0.0)
+        return (rays, throughput, radiance, alive), None
 
+    init = (
+        rays,
+        jnp.ones((B, 3), jnp.float32),
+        jnp.zeros((B, 3), jnp.float32),
+        jnp.ones((B,), bool),
+    )
+    (_, _, radiance, _), _ = lax.scan(bounce_step, init, jnp.arange(config.max_depth))
     return radiance
 
 
@@ -238,7 +262,7 @@ def trace_stats(scene, rays: Rays, keys: Array, config: PathTracerConfig) -> Arr
     for bounce in range(config.max_depth):
         bkey = rng.bounce_key(keys, bounce)
         queries = queries + jnp.sum(alive)  # closest-hit queries this bounce
-        hit = _intersect(scene, rays, config)
+        hit = _intersect(scene, rays, config, alive=None if bounce == 0 else alive)
         alive = alive & hit.valid & (scene.mat_type[hit.material] != EMISSIVE)
         if config.nee:
             queries = queries + jnp.sum(alive)  # shadow rays
@@ -270,6 +294,30 @@ def make_pixel_uv(width: int, height: int):
     return i.reshape(-1), j.reshape(-1)
 
 
+def tiled_pixel_order(width: int, height: int, tile_w: int = 16, tile_h: int = 8):
+    """Permutation putting pixels in (tile-row, tile-col, in-tile) order so
+    each consecutive run of tile_w*tile_h rays is a compact screen block.
+    The Pallas intersector processes rays in tiles of 128 lanes; a 16x8
+    pixel block has a far tighter frustum than a 128-pixel scanline run, so
+    cluster culling removes much more work. Returns (perm, inv_perm) as
+    numpy arrays (host; width/height are static)."""
+    import numpy as np
+
+    ids = np.arange(width * height, dtype=np.int64)
+    x = ids % width
+    y = ids // width
+    key = (
+        ((y // tile_h) * ((width + tile_w - 1) // tile_w) + (x // tile_w))
+        * (tile_w * tile_h)
+        + (y % tile_h) * tile_w
+        + (x % tile_w)
+    )
+    perm = np.argsort(key, kind="stable")
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(perm.size)
+    return perm.astype(np.int32), inv.astype(np.int32)
+
+
 @partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
 def render_image(
     scene,
@@ -284,6 +332,8 @@ def render_image(
     `spp` jittered samples per pixel. One jit; the spp loop is a `lax.scan`
     so compile time is O(1) in spp."""
     px, py = make_pixel_uv(width, height)
+    perm, inv = tiled_pixel_order(width, height)
+    px, py = px[perm], py[perm]  # tile-swizzled ray order (see tiled_pixel_order)
     B = px.shape[0]
     base_keys = rng.pixel_keys(key, B)
 
@@ -298,7 +348,7 @@ def render_image(
         return acc + rad, None
 
     acc, _ = lax.scan(one_sample, jnp.zeros((B, 3), jnp.float32), jnp.arange(spp))
-    img = acc / spp
+    img = acc[inv] / spp  # un-swizzle back to row-major
     return img.reshape(height, width, 3)
 
 

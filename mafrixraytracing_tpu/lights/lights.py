@@ -108,7 +108,10 @@ def nee_area(scene, hit, wo, key, occluded_fn, mis: bool = True):
     )
 
     shadow_rays = Rays(origin=hit.point + hit.normal * SHADOW_EPS, direction=wl)
-    blocked = occluded_fn(shadow_rays, SHADOW_EPS, dist - SHADOW_EPS)
+    # non-candidate lanes get t_max = 0 so the intersector's cull skips them
+    blocked = occluded_fn(
+        shadow_rays, SHADOW_EPS, jnp.where(candidate, dist - SHADOW_EPS, 0.0)
+    )
     vis = candidate & ~blocked
 
     geom = cos_l_eff / d2
@@ -140,7 +143,9 @@ def nee_point(scene, hit, wo, occluded_fn):
             scene.plight_mask[i] & hit.valid & (cos_s > 0.0) & jnp.any(f > 0.0, axis=-1)
         )
         shadow_rays = Rays(origin=hit.point + hit.normal * SHADOW_EPS, direction=wl)
-        blocked = occluded_fn(shadow_rays, SHADOW_EPS, dist - SHADOW_EPS)
+        blocked = occluded_fn(
+            shadow_rays, SHADOW_EPS, jnp.where(candidate, dist - SHADOW_EPS, 0.0)
+        )
         vis = candidate & ~blocked
         contrib = f * (cos_s / d2)[..., None] * scene.plight_intensity[i]
         total = total + jnp.where(vis[..., None], contrib, 0.0)

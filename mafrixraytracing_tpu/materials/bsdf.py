@@ -39,6 +39,19 @@ LAMBERT, METAL, DIELECTRIC, EMISSIVE = 0, 1, 2, 3
 INV_PI = 1.0 / jnp.pi
 
 
+def surface_albedo(scene, hit):
+    """Base color at a hit: material albedo modulated by its texture (the
+    reference's `Lambertian(Texture)` sample material,
+    `RenderTest/Sample/RayTracing.fs:277-291`, and per-pixel texture sample
+    in the rasterizer, `Core/Pipeline.fs:86-103`)."""
+    from mafrixraytracing_tpu.materials.texture import sample_atlas
+
+    m = hit.material
+    albedo = scene.mat_albedo[m]
+    tex = scene.mat_tex[m]
+    return albedo * sample_atlas(scene.tex_atlas, tex, hit.uv)
+
+
 class BsdfSample(struct.PyTreeNode):
     wi: Array        # (..., 3) sampled direction (unit)
     weight: Array    # (..., 3) f * cos / pdf
@@ -57,7 +70,7 @@ def sample_bsdf(scene, hit, wo: Array, key: Array, uniform_lambert: bool = False
     """
     m = hit.material
     mtype = scene.mat_type[m]
-    albedo = scene.mat_albedo[m]
+    albedo = surface_albedo(scene, hit)
     fuzz = scene.mat_fuzz[m]
     ior = scene.mat_ior[m]
     n = hit.normal
@@ -118,7 +131,7 @@ def eval_bsdf(scene, hit, wo: Array, wi: Array):
     (metal/dielectric) return zero: they cannot be hit by light sampling."""
     m = hit.material
     mtype = scene.mat_type[m]
-    albedo = scene.mat_albedo[m]
+    albedo = surface_albedo(scene, hit)
     n = hit.normal
     cos_wi = dot(wi, n)
     same_side = cos_wi > 0.0

@@ -1,18 +1,295 @@
-"""Pallas TPU closest-hit kernel (placeholder gate for round-1 M0).
+"""Pallas TPU closest-hit kernel over Morton-clustered triangles.
 
-The real kernel lands with the wavefront milestone; until then `supports`
-returns False so dispatch always uses the jnp path.
+The hot loop of the whole framework — the TPU-native replacement for the
+reference's recursive BVH traversal + per-ray Moller-Trumbore
+(`Core/Accelerate/BvhNode.fs:62-83`, `Core/Shape/Trangle.fs:120-145`).
+
+Two-phase design (build in `accel.clusters`):
+
+1. **Cull (XLA, vectorized):** slab-test every ray against every cluster
+   AABB as one dense (B, C) VPU computation, reduce to per-ray-tile
+   "any ray hits cluster c" masks, and compact each tile's surviving
+   cluster ids to the front of a list with a stable argsort. This keeps
+   ALL control-flow decisions out of the kernel — on TPU the scalar core
+   is the bottleneck for per-cluster branching, not the vector math.
+2. **Intersect (Pallas):** grid over ray tiles of 128 (lane width); the
+   tile's cluster list and count arrive via scalar prefetch
+   (`PrefetchScalarGridSpec`), and the kernel runs a branch-free
+   `fori_loop` over exactly the surviving clusters, evaluating all
+   128 x 128 ray-triangle pairs per cluster as dense (sublane x lane)
+   vector ops. The whole triangle set lives in VMEM as a (T, 16) packed
+   array (spot 0.5 MB, Renault12TL 2.4 MB) — no per-cluster DMA.
+
+Divergence is handled the TPU way: per-*tile* work lists, dense masked
+arithmetic inside — no per-lane control flow anywhere.
+
+Differentiability: this module only performs the *search* (t, index); the
+differentiable attribute recompute stays in
+`geometry.intersect.hit_attributes` (detached-selection
+reparameterization), so backward cost is O(rays) regardless of scene size.
 """
 from __future__ import annotations
 
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import jax.experimental.pallas as pl
+from jax import lax
+from jax.experimental.pallas import tpu as pltpu
+
+from mafrixraytracing_tpu.accel.clusters import CLUSTER_SIZE
+
+TILE = 128          # rays per grid step (lane width)
+BIG = 1e30
+DET_EPS = 1e-10
+MAX_VMEM_TRIS = 200_000  # (T,16) f32 must fit comfortably in VMEM
+
+# t_min is baked into the kernel as a compile-time constant (fixed config
+# value; the reference's epsilon protocol `Integrators.fs:44,108`).
+T_MIN_CONST = 1e-3
+
 
 def supports(scene) -> bool:
-    return False
+    T = scene.tri_v0.shape[0]
+    return (
+        T % CLUSTER_SIZE == 0
+        and T <= MAX_VMEM_TRIS
+        and scene.cluster_min.shape[0] * CLUSTER_SIZE == T
+    )
 
 
-def find_closest(scene, rays, t_min, t_max):  # pragma: no cover
-    raise NotImplementedError
+# ---------------------------------------------------------------------------
+# Phase 1: vectorized cull (pure jnp -> VPU)
+# ---------------------------------------------------------------------------
 
 
-def occluded(scene, rays, t_min, t_max):  # pragma: no cover
-    raise NotImplementedError
+def _cull(o, d, t_max, cmin, cmax):
+    """Per-ray-tile *ordered* cluster lists. o, d: (B, 3); t_max: (B,);
+    cmin/cmax: (C, 3). Returns:
+      lists   (tiles, C) i32 — cluster ids sorted by conservative entry
+              distance (front-to-back), surviving clusters first
+      counts  (tiles,)  i32 — number of survivors
+      entries (tiles, C) f32 — tile-min entry distance per sorted slot
+    Front-to-back order + the entry distances let the kernel terminate a
+    tile as soon as every ray's best hit is closer than the next cluster —
+    the wavefront analog of ordered BVH descent (reference `BvhNode.fs:62-83`
+    descends both children; this prunes strictly better)."""
+    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, jnp.where(d >= 0, 1e-12, -1e-12))
+    # per-axis accumulation keeps temps at (B, C) instead of (B, C, 3)
+    tn = jnp.full((o.shape[0], cmin.shape[0]), -BIG, jnp.float32)
+    tf = jnp.full((o.shape[0], cmin.shape[0]), BIG, jnp.float32)
+    for a in range(3):
+        t0 = (cmin[None, :, a] - o[:, None, a]) * inv[:, None, a]
+        t1 = (cmax[None, :, a] - o[:, None, a]) * inv[:, None, a]
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    hit = (tn <= tf) & (tf > 0.0) & (tn < t_max[:, None])  # (B, C)
+    entry = jnp.where(hit, jnp.maximum(tn, 0.0), BIG)
+    n_tiles = o.shape[0] // TILE
+    tile_entry = jnp.min(entry.reshape(n_tiles, TILE, -1), axis=1)  # (tiles, C)
+    order = jnp.argsort(tile_entry, axis=1).astype(jnp.int32)
+    entries = jnp.take_along_axis(tile_entry, order, axis=1)
+    counts = jnp.sum(tile_entry < BIG, axis=1).astype(jnp.int32)
+    return order, counts, entries
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: Pallas intersect over surviving clusters
+# ---------------------------------------------------------------------------
+
+
+def _kernel(
+    list_ref, count_ref, entry_ref, o_ref, d_ref, tmax_ref, tri_ref, t_out, i_out
+):
+    """One ray tile vs. its surviving clusters, front-to-back with early
+    termination.
+
+    list_ref:  (tiles, C) i32 scalar-prefetch — cluster ids, front-to-back
+    count_ref: (tiles,)  i32 scalar-prefetch — number of survivors
+    entry_ref: (tiles, C) f32 scalar-prefetch — tile-min entry distance
+    o_ref/d_ref: (3, TILE) ray origins/directions (VMEM block)
+    tmax_ref:  (1, TILE) per-ray far bound
+    tri_ref:   (T, 16) packed triangles (VMEM, full): v0|e1|e2|pad
+    t_out/i_out: (1, TILE) best hit distance / global tri index (-1 = miss)
+    """
+    g = pl.program_id(0)
+    ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
+    dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
+
+    def test_cluster(k, best):
+        best_t, best_i = best
+        c = list_ref[g, k]
+        base = pl.multiple_of(c * CLUSTER_SIZE, CLUSTER_SIZE)
+        blk = tri_ref[pl.ds(base, CLUSTER_SIZE), :]  # (128, 16)
+        v0x, v0y, v0z = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]
+        e1x, e1y, e1z = blk[:, 3:4], blk[:, 4:5], blk[:, 5:6]
+        e2x, e2y, e2z = blk[:, 6:7], blk[:, 7:8], blk[:, 8:9]
+
+        # pvec = d x e2 -> (128 tris on sublanes, 128 rays on lanes)
+        px = dy * e2z - dz * e2y
+        py = dz * e2x - dx * e2z
+        pz = dx * e2y - dy * e2x
+        det = e1x * px + e1y * py + e1z * pz
+        ok = jnp.abs(det) > DET_EPS
+        safe = jnp.where(ok, det, 1.0)
+        # approximate reciprocal + one Newton step: ~f32 accuracy without
+        # the VPU's slow true divide (one divide per ray-tri pair is the
+        # single most expensive op in the plain formulation)
+        r0 = pl.reciprocal(safe, approx=True)
+        invd = r0 * (2.0 - safe * r0)
+        tvx = ox - v0x
+        tvy = oy - v0y
+        tvz = oz - v0z
+        u = (tvx * px + tvy * py + tvz * pz) * invd
+        qx = tvy * e1z - tvz * e1y
+        qy = tvz * e1x - tvx * e1z
+        qz = tvx * e1y - tvy * e1x
+        v = (dx * qx + dy * qy + dz * qz) * invd
+        t = (e2x * qx + e2y * qy + e2z * qz) * invd
+        valid = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        valid = valid & (t > T_MIN_CONST) & (t < best_t)
+        t = jnp.where(valid, t, BIG)
+        tmin = jnp.min(t, axis=0, keepdims=True)               # (1, TILE)
+        rows = lax.broadcasted_iota(jnp.int32, t.shape, 0)
+        arg = jnp.min(
+            jnp.where(t <= tmin, rows, CLUSTER_SIZE), axis=0, keepdims=True
+        )
+        better = tmin < best_t
+        new_t = jnp.where(better, tmin, best_t)
+        new_i = jnp.where(better, c * CLUSTER_SIZE + arg, best_i)
+        return new_t, new_i
+
+    # NOTE: a while_loop with "next entry > max(best_t)" early termination
+    # was measured SLOWER than the plain fori (9.1 ms vs 6.9 ms on spot):
+    # the per-iteration vector->scalar reduce serializes the VPU pipeline.
+    # The entry-sorted list still helps: nearer clusters shrink best_t
+    # early, so farther clusters' triangles fail the (t < best_t) mask and
+    # their min/select chain stays cheap.
+    n = count_ref[g]
+    del entry_ref  # ordering is baked into list_ref
+    init = (tmax_ref[:], jnp.full((1, TILE), -1, jnp.int32))
+    best_t, best_i = lax.fori_loop(0, n, test_cluster, init)
+    t_out[:] = best_t
+    i_out[:] = jnp.where(best_t < tmax_ref[:], best_i, -1)
+
+
+def _pack_tris(scene):
+    """(T, 16) packed v0|e1|e2 (+7 pad columns for lane alignment)."""
+    T = scene.tri_v0.shape[0]
+    return jnp.concatenate(
+        [scene.tri_v0, scene.tri_e1, scene.tri_e2, jnp.zeros((T, 7), jnp.float32)],
+        axis=1,
+    )
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _find_closest_impl(tri_pack, lists, counts, entries, o, d, t_max, interpret=False):
+    """o, d: (3, B) transposed rays; t_max: (1, B). Returns t (B,), idx (B,)."""
+    B = o.shape[1]
+    n_tiles = B // TILE
+    T = tri_pack.shape[0]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((3, TILE), lambda g, *_: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, TILE), lambda g, *_: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda g, *_: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TILE), lambda g, *_: (0, g), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE), lambda g, *_: (0, g), memory_space=pltpu.VMEM),
+        ],
+    )
+    t, i = pl.pallas_call(
+        _kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((1, B), jnp.float32),
+            jax.ShapeDtypeStruct((1, B), jnp.int32),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=40 * B * T // 8, bytes_accessed=B * 64 + T * 64, transcendentals=0
+        ),
+        interpret=interpret,
+    )(lists, counts, entries, o, d, t_max, tri_pack)
+    return t[0], i[0]
+
+
+# The search is non-differentiable by design (detached closest-hit
+# selection); declare identically-zero tangents so AD never tries to
+# differentiate through the pallas_call (its jvp rule is unimplemented, and
+# stop_gradient alone does not stop jvp tracing through the jit boundary).
+@partial(jax.custom_jvp, nondiff_argnums=(7,))
+def _search(tri_pack, lists, counts, entries, o, d, t_max, interpret):
+    return _find_closest_impl(
+        tri_pack, lists, counts, entries, o, d, t_max, interpret=interpret
+    )
+
+
+@_search.defjvp
+def _search_jvp(interpret, primals, tangents):
+    t, i = _search(*primals, interpret)
+    import numpy as _np
+
+    return (t, i), (
+        jnp.zeros_like(t),
+        _np.zeros(i.shape, jax.dtypes.float0),
+    )
+
+
+def find_closest(scene, rays, t_min, t_max, interpret=None):
+    """Pallas-accelerated closest-hit search (triangles via the kernel,
+    spheres merged in jnp). Same contract as
+    `geometry.intersect.find_closest`. Non-differentiable by design."""
+    from mafrixraytracing_tpu.geometry.intersect import _closest_sphere
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    o = lax.stop_gradient(rays.origin)
+    d = lax.stop_gradient(rays.direction)
+    scene = jax.tree_util.tree_map(lax.stop_gradient, scene)
+    B = o.shape[0]
+    Bp = ((B + TILE - 1) // TILE) * TILE
+    t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (B,))
+    if Bp != B:
+        pad = Bp - B
+        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], axis=0)
+        d = jnp.concatenate(
+            [d, jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (pad, 1))], axis=0
+        )
+        t_max_p = jnp.concatenate([t_max_arr, jnp.zeros((pad,), jnp.float32)])
+    else:
+        t_max_p = t_max_arr
+
+    lists, counts, entries = _cull(
+        o, d, t_max_p, scene.cluster_min, scene.cluster_max
+    )
+    tri_pack = _pack_tris(scene)
+    tt, ti = _search(
+        tri_pack, lists, counts, entries, o.T, d.T, t_max_p[None, :], interpret
+    )
+    tt, ti = tt[:B], ti[:B]
+
+    # merge spheres (jnp; sphere tables are small)
+    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (B,))
+    st, si = _closest_sphere(scene, o[:B], d[:B], t_min_b, t_max_arr)
+    T = scene.tri_v0.shape[0]
+    tri_valid = ti >= 0
+    tt = jnp.where(tri_valid, tt, BIG)
+    use_sphere = st < tt
+    t = jnp.where(use_sphere, st, tt)
+    idx = jnp.where(use_sphere, T + si, ti)
+    idx = jnp.where(t < BIG, idx, -1)
+    return t, idx
+
+
+def occluded(scene, rays, t_min, t_max, interpret=None):
+    """Any-hit query via the closest-hit kernel (shadow rays). `t_max` may
+    be per-ray; the per-ray far bound makes the search range exact."""
+    t, idx = find_closest(scene, rays, t_min, t_max, interpret=interpret)
+    return idx >= 0

@@ -66,10 +66,15 @@ def render_image_sharded(
     a multiple of the mesh size; RNG keys derive from *global* pixel ids, so
     the image is bit-identical for any device count (tested on the virtual
     8-CPU mesh, SURVEY §4)."""
+    from mafrixraytracing_tpu.integrator.path import tiled_pixel_order
+
     n_dev = mesh.shape[RAY_AXIS]
     B = width * height
     B_pad = ((B + n_dev - 1) // n_dev) * n_dev
-    pixel_ids = jnp.arange(B_pad, dtype=jnp.int32) % B  # pad with wrapped ids
+    # tile-swizzled ray order for intersector coherence; RNG keys derive
+    # from the *global pixel id*, so the image is order-invariant
+    perm, _ = tiled_pixel_order(width, height)
+    pixel_ids = jnp.asarray(perm)[jnp.arange(B_pad, dtype=jnp.int32) % B]
 
     def shard_fn(scene, camera, ids):
         return _render_flat_pixels(
@@ -81,9 +86,10 @@ def render_image_sharded(
         mesh=mesh,
         in_specs=(P(), P(), P(RAY_AXIS)),
         out_specs=P(RAY_AXIS),
-        check_rep=False,
+        check_vma=False,
     )(scene, camera, pixel_ids)
-    return out[:B].reshape(height, width, 3)
+    img = jnp.zeros((B, 3), jnp.float32).at[pixel_ids[:B]].set(out[:B])
+    return img.reshape(height, width, 3)
 
 
 @partial(
@@ -120,6 +126,6 @@ def render_spp_sharded(
         mesh=mesh,
         in_specs=(P(), P()),
         out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     )(scene, camera)
     return out.reshape(height, width, 3)

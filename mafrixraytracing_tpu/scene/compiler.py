@@ -56,6 +56,8 @@ class ScenePytree(struct.PyTreeNode):
     mat_emission: Array  # (M, 3)
     mat_fuzz: Array      # (M,)
     mat_ior: Array       # (M,)
+    mat_tex: Array       # (M,) i32 atlas page, -1 = untextured
+    tex_atlas: Array     # (K, R, R, 3) texture atlas (materials.texture)
     # --- area-light triangle table (L,) ---
     light_v0: Array
     light_e1: Array
@@ -236,12 +238,18 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
     mat_emission = np.zeros((M, 3), np.float32)
     mat_fuzz = np.zeros((M,), np.float32)
     mat_ior = np.full((M,), 1.5, np.float32)
+    mat_tex = np.full((M,), -1, np.int32)
     for i, m in enumerate(materials):
         mat_type[i] = S.MATERIAL_TYPES[m.type]
         mat_albedo[i] = m.albedo
         mat_emission[i] = m.emission
         mat_fuzz[i] = m.fuzz
         mat_ior[i] = m.ior
+        mat_tex[i] = m.texture_id
+
+    from mafrixraytracing_tpu.materials.texture import build_atlas
+
+    atlas = build_atlas(scene_spec.textures)
 
     # --- light table (padded) ---
     if lt["v0"]:
@@ -298,6 +306,8 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
         mat_emission=jnp.asarray(mat_emission),
         mat_fuzz=jnp.asarray(mat_fuzz),
         mat_ior=jnp.asarray(mat_ior),
+        mat_tex=jnp.asarray(mat_tex),
+        tex_atlas=jnp.asarray(atlas),
         light_v0=jnp.asarray(light["v0"]),
         light_e1=jnp.asarray(light["e1"]),
         light_e2=jnp.asarray(light["e2"]),

@@ -1,0 +1,96 @@
+"""Pallas kernel correctness vs the jnp reference intersector (interpret
+mode on CPU; the same kernel compiles for TPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mafrixraytracing_tpu.core.types import Rays
+from mafrixraytracing_tpu.geometry import intersect as isect
+from mafrixraytracing_tpu.ops import intersect_pallas as ip
+from mafrixraytracing_tpu.scene.builtin import cornell_box, sphere_triad
+from mafrixraytracing_tpu.scene.compiler import compile_scene
+
+
+def _random_rays(n, origin, spread=1.0, seed=0):
+    key = jax.random.key(seed)
+    d = jax.random.normal(key, (n, 3))
+    d = d / jnp.linalg.norm(d, axis=-1, keepdims=True)
+    o = jnp.tile(jnp.asarray([origin], jnp.float32), (n, 1))
+    return Rays(origin=o, direction=d)
+
+
+@pytest.mark.parametrize("n", [128, 256])
+def test_matches_jnp_on_cornell(n):
+    cs = compile_scene(cornell_box())
+    rays = _random_rays(n, (0.0, 1.0, 1.5))
+    t_j, i_j = isect.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8)
+    t_p, i_p = ip.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8, interpret=True)
+    hit_j = i_j >= 0
+    hit_p = i_p >= 0
+    np.testing.assert_array_equal(np.asarray(hit_j), np.asarray(hit_p))
+    np.testing.assert_allclose(
+        np.where(hit_j, np.asarray(t_j), 0.0),
+        np.where(hit_p, np.asarray(t_p), 0.0),
+        rtol=1e-4,
+        atol=1e-5,
+    )
+    # indices may differ only for exactly-tied t (shared edges); verify the
+    # chosen triangles produce the same hit distance instead of equality
+    np.testing.assert_array_equal(np.asarray(i_j), np.asarray(i_p))
+
+
+def test_nonaligned_batch():
+    cs = compile_scene(cornell_box())
+    rays = _random_rays(100, (0.2, 0.8, 0.0), seed=3)
+    t_j, i_j = isect.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8)
+    t_p, i_p = ip.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_j), np.asarray(i_p))
+
+
+def test_sphere_merge():
+    cs = compile_scene(sphere_triad())
+    rays = _random_rays(128, (0.0, 0.7, 2.0), seed=5)
+    t_j, i_j = isect.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8)
+    t_p, i_p = ip.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_j), np.asarray(i_p))
+    hit = np.asarray(i_j) >= 0
+    np.testing.assert_allclose(
+        np.asarray(t_j)[hit], np.asarray(t_p)[hit], rtol=1e-4
+    )
+
+
+def test_occlusion_with_per_ray_tmax():
+    cs = compile_scene(cornell_box())
+    n = 128
+    # x=0.75, y=1.0 clears both boxes (tall box reaches x<=0.03, short box
+    # tops out at y=0.6): first hit is the back wall at distance 1
+    rays = Rays(
+        origin=jnp.tile(jnp.array([[0.75, 1.0, 0.0]]), (n, 1)),
+        direction=jnp.tile(jnp.array([[0.0, 0.0, -1.0]]), (n, 1)),
+    )
+    t_max_far = jnp.full((n,), 5.0)
+    t_max_near = jnp.full((n,), 0.5)
+    assert bool(
+        jnp.all(ip.occluded(cs.scene, rays, 1e-3, t_max_far, interpret=True))
+    )
+    assert not bool(
+        jnp.any(ip.occluded(cs.scene, rays, 1e-3, t_max_near, interpret=True))
+    )
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.exists(
+        "/root/reference/3DModel/spot/spot_triangulated_good.obj"
+    ),
+    reason="reference assets absent",
+)
+def test_matches_jnp_on_spot():
+    from mafrixraytracing_tpu.scene.assets import spot_scene
+
+    cs = compile_scene(spot_scene(64, 64))
+    rays = _random_rays(256, (0.0, 0.3, 2.0), seed=7)
+    t_j, i_j = isect.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8)
+    t_p, i_p = ip.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8, interpret=True)
+    agree = np.mean(np.asarray(i_j) == np.asarray(i_p))
+    assert agree == 1.0, f"index agreement {agree}"
