@@ -67,6 +67,8 @@ class PathTracerConfig:
     t_min: float = RAY_EPS
     chunk: int = 1024           # triangle chunk for the jnp intersector
     backend: str = "auto"       # "auto" | "jnp" | "pallas" — intersection backend
+    remat: bool = True          # rematerialize scan bodies: backward-pass HBM
+                                # is O(wavefront) instead of O(spp*depth*wavefront)
 
 
 def _occluder(scene, config):
@@ -175,6 +177,8 @@ def _trace_physical(scene, rays, keys, config):
         throughput = jnp.where(alive[:, None], throughput, 0.0)
         return (rays, throughput, radiance, alive, bs.pdf, bs.specular), None
 
+    if config.remat:
+        bounce_step = jax.checkpoint(bounce_step, prevent_cse=False)
     init = (
         rays,
         jnp.ones((B, 3), jnp.float32),
@@ -240,6 +244,8 @@ def _trace_mafrix(scene, rays, keys, config):
         throughput = jnp.where(alive[:, None], throughput, 0.0)
         return (rays, throughput, radiance, alive), None
 
+    if config.remat:
+        bounce_step = jax.checkpoint(bounce_step, prevent_cse=False)
     init = (
         rays,
         jnp.ones((B, 3), jnp.float32),
@@ -347,6 +353,8 @@ def render_image(
         rad = trace_radiance(scene, rays, skeys, config)
         return acc + rad, None
 
+    if config.remat:
+        one_sample = jax.checkpoint(one_sample, prevent_cse=False)
     acc, _ = lax.scan(one_sample, jnp.zeros((B, 3), jnp.float32), jnp.arange(spp))
     img = acc[inv] / spp  # un-swizzle back to row-major
     return img.reshape(height, width, 3)

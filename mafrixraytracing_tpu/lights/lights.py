@@ -131,22 +131,31 @@ def nee_point(scene, hit, wo, occluded_fn):
     stubbed to zeros — here point lights actually work). Sums over the
     (small, padded) point-light table; delta lights take no MIS."""
     P = scene.plight_pos.shape[0]
-    total = jnp.zeros(hit.point.shape, jnp.float32)
-    for i in range(P):
-        to_l = scene.plight_pos[i] - hit.point
-        d2 = jnp.maximum(dot(to_l, to_l), 1e-12)
-        dist = jnp.sqrt(d2)
-        wl = to_l / dist[..., None]
-        cos_s = dot(hit.normal, wl)
-        f, _ = eval_bsdf(scene, hit, wo, wl)
-        candidate = (
-            scene.plight_mask[i] & hit.valid & (cos_s > 0.0) & jnp.any(f > 0.0, axis=-1)
-        )
-        shadow_rays = Rays(origin=hit.point + hit.normal * SHADOW_EPS, direction=wl)
-        blocked = occluded_fn(
-            shadow_rays, SHADOW_EPS, jnp.where(candidate, dist - SHADOW_EPS, 0.0)
-        )
-        vis = candidate & ~blocked
-        contrib = f * (cos_s / d2)[..., None] * scene.plight_intensity[i]
-        total = total + jnp.where(vis[..., None], contrib, 0.0)
-    return total
+    if P == 0:
+        return jnp.zeros(hit.point.shape, jnp.float32)
+
+    B = hit.point.shape[0]
+    # (P, B) shadow geometry, flattened into ONE batched occlusion query —
+    # P separate queries would each pay a full intersector pass
+    to_l = scene.plight_pos[:, None, :] - hit.point[None]          # (P, B, 3)
+    d2 = jnp.maximum(dot(to_l, to_l), 1e-12)
+    dist = jnp.sqrt(d2)
+    wl = to_l / dist[..., None]
+    cos_s = dot(hit.normal[None], wl)
+    f, _ = eval_bsdf(scene, hit, wo[None] * jnp.ones((P, 1, 1)), wl)
+    candidate = (
+        scene.plight_mask[:, None]
+        & hit.valid[None]
+        & (cos_s > 0.0)
+        & jnp.any(f > 0.0, axis=-1)
+    )
+    origin = hit.point[None] + hit.normal[None] * SHADOW_EPS
+    shadow_rays = Rays(
+        origin=jnp.broadcast_to(origin, (P, B, 3)).reshape(P * B, 3),
+        direction=wl.reshape(P * B, 3),
+    )
+    t_far = jnp.where(candidate, dist - SHADOW_EPS, 0.0).reshape(P * B)
+    blocked = occluded_fn(shadow_rays, SHADOW_EPS, t_far).reshape(P, B)
+    vis = candidate & ~blocked
+    contrib = f * (cos_s / d2)[..., None] * scene.plight_intensity[:, None, :]
+    return jnp.sum(jnp.where(vis[..., None], contrib, 0.0), axis=0)

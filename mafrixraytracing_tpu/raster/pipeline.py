@@ -168,56 +168,10 @@ def rasterize(
     f_chunks = fpad.reshape(n_chunks, chunk, 3)
     v_chunks = valid_face.reshape(n_chunks, chunk)
 
-    def body(carry, xs):
-        zbuf, tri_best, b_u, b_v = carry
-        f, vmask = xs
-        x0, x1, x2 = face_corners(sx, f)
-        y0, y1, y2 = face_corners(sy, f)
-        z0, z1, z2 = face_corners(sz, f)
-
-        # signed twice-area; backface cull like `RemoveBackfaces`
-        # (screen-space version of the face-normal-dot-view test)
-        area = (x1 - x0) * (y2 - y0) - (x2 - x0) * (y1 - y0)
-        if cull_backfaces:
-            front = area < 0.0  # CCW in y-down screen space
-        else:
-            front = jnp.abs(area) > 0.0
-        inv_area = jnp.where(jnp.abs(area) > 1e-8, 1.0 / area, 0.0)
-
-        # edge functions per (pixel, tri): (P, C)
-        dx = PX[:, None]
-        dy = PY[:, None]
-        w0 = ((x1 - dx) * (y2 - dy) - (x2 - dx) * (y1 - dy)) * inv_area[None]
-        w1 = ((x2 - dx) * (y0 - dy) - (x0 - dx) * (y2 - dy)) * inv_area[None]
-        w2 = 1.0 - w0 - w1
-        inside = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-        z = w0 * z0[None] + w1 * z1[None] + w2 * z2[None]
-        ok = (
-            inside
-            & front[None]
-            & vmask[None]
-            & (z > -1.0)
-            & (z < 1.0)
-            & (z < zbuf[:, None])
-        )
-        z = jnp.where(ok, z, jnp.inf)
-        arg = jnp.argmin(z, axis=1)
-        znew = jnp.take_along_axis(z, arg[:, None], axis=1)[:, 0]
-        better = znew < zbuf
-        take = lambda a: jnp.take_along_axis(a, arg[:, None], axis=1)[:, 0]
-        tri_ids = jnp.take(
-            jnp.arange(chunk, dtype=jnp.int32), arg
-        ) + xs[1].shape[0] * 0  # local id; global added below via counter
-        return (
-            jnp.where(better, znew, zbuf),
-            jnp.where(better, take(jnp.tile(f_global[None, :], (1, 1))[0][None].T @ jnp.ones((1,), jnp.int32) if False else 0, ), tri_best) if False else jnp.where(better, take((f_idx_holder)[None] * 0 + jnp.arange(chunk, dtype=jnp.int32)[None] + chunk_base, ), tri_best),
-            jnp.where(better, take(w0), b_u),
-            jnp.where(better, take(w1), b_v),
-        ), None
-
-    # The closure above needs the chunk base index; restructure with an
-    # explicit counter carried through the scan.
-    def body2(carry, xs):
+    def rasterize_chunk(carry, xs):
+        """One triangle chunk vs. all pixels: edge-function coverage, z test,
+        keep the per-pixel winner (reference `DrawTrangle` barycentric fill,
+        `Core/Pipeline.fs:40-65`, as a dense masked update)."""
         zbuf, tri_best, b_u, b_v, base = carry
         f, vmask = xs
         x0, x1, x2 = face_corners(sx, f)
@@ -259,7 +213,9 @@ def rasterize(
         jnp.zeros((P,), jnp.float32),
         jnp.int32(0),
     )
-    (zbuf, tri_best, b0, b1, _), _ = lax.scan(body2, init, (f_chunks, v_chunks))
+    (zbuf, tri_best, b0, b1, _), _ = lax.scan(
+        rasterize_chunk, init, (f_chunks, v_chunks)
+    )
 
     # --- attribute stage: gather the winning triangle per pixel ---
     hit = tri_best >= 0

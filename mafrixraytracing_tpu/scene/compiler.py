@@ -275,7 +275,10 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
 
     # --- point lights ---
     npl = len(scene_spec.point_lights)
-    P = bucket_size(npl, 8)
+    # size 0 when there are none: nee_point's per-light shadow pass is a
+    # static loop over this table, so phantom padded slots would each cost a
+    # full occlusion query per bounce
+    P = bucket_size(npl, 8) if npl else 0
     plight_pos = np.zeros((P, 3), np.float32)
     plight_intensity = np.zeros((P, 3), np.float32)
     plight_mask = np.zeros((P,), bool)
