@@ -22,6 +22,11 @@ import time
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: warmup compiles are slow through the remote
+# TPU-compile path; caching them does not affect the timed iterations
+jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mafrixraytracing_tpu.core import rng  # noqa: E402

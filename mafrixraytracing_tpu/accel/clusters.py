@@ -1,12 +1,16 @@
-"""Morton-clustered triangle acceleration (host build, device traversal).
+"""Clustered triangle acceleration (host build, device traversal).
 
-Build (NumPy): sort triangles by centroid Morton code, group consecutive
-runs of `CLUSTER_SIZE` into clusters, store per-cluster AABBs. Because the
-sort makes consecutive triangles spatially coherent, a cluster AABB is a
-tight bound, and traversal = "test cluster AABB, only then test its
-triangles" — the branch-free, pointer-free analog of the reference's BVH
-(`Core/Accelerate/BvhNode.fs:11-84`; its leaf size 3 and recursive descent
-become cluster size 64 and a masked loop).
+Build (NumPy): recursively median-split triangle centroids on the widest
+axis (the same split rule as the reference's BVH build,
+`Core/Accelerate/BvhNode.fs:42-61`) until each leaf holds exactly
+`CLUSTER_SIZE` triangles, then lay leaves out consecutively. Each leaf is
+one *cluster* with a tight AABB, and traversal = "test cluster AABB, only
+then test its triangles" — the branch-free, pointer-free analog of the
+reference's recursive descent (`Core/Accelerate/BvhNode.fs:62-83`; its leaf
+size 3 becomes the TPU lane width 128 and a masked loop). A balanced
+count-median split is used instead of Morton-code chunking because it
+produces near-disjoint clusters: far fewer clusters survive the per-ray-tile
+cull, which is the dominant cost of the Pallas intersector.
 
 The device-side consumers are:
 - `ops.intersect_pallas` — Pallas kernel with per-ray-tile cluster skipping.
@@ -25,12 +29,50 @@ import numpy as np
 CLUSTER_SIZE = 128
 SUPER_FACTOR = 16  # clusters per supercluster
 
+# "Mega" triangles (ground planes, room walls): any triangle whose AABB
+# diagonal exceeds MEGA_FRAC of the scene diagonal would blow up its
+# cluster's AABB so badly that every ray tests the whole cluster. They are
+# excluded from clustering and handled by a dense jnp test instead (at most
+# MAX_MEGA of them), which also yields a per-ray t_max cap *before* the
+# cluster cull — everything behind the first mega hit is culled for free.
+MEGA_FRAC = 0.35
+MAX_MEGA = 32
+
 _EMPTY_MIN = np.float32(3e38)
 _EMPTY_MAX = np.float32(-3e38)
 
 
+def _median_split_order(centroids: np.ndarray, leaf: int) -> np.ndarray:
+    """Recursive count-median split on the widest centroid axis: returns a
+    permutation laying triangles out so each consecutive run of `leaf` is a
+    spatially tight kd-leaf. Iterative worklist, O(T log T) host time."""
+    n = centroids.shape[0]
+    order = np.arange(n, dtype=np.int64)
+    if n <= leaf:
+        return order
+    stack = [(0, n)]
+    while stack:
+        lo, hi = stack.pop()
+        if hi - lo <= leaf:
+            continue
+        seg = order[lo:hi]
+        c = centroids[seg]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        # split point must be a multiple of `leaf`: the device groups
+        # consecutive runs of `leaf` triangles into clusters, so any
+        # non-aligned split would make leaves straddle cluster boundaries.
+        # Only the global tail run may be partial (it stays rightmost).
+        half = (hi - lo) // 2
+        mid = max(leaf, (half // leaf) * leaf)
+        part = np.argpartition(c[:, axis], mid - 1)
+        order[lo:hi] = seg[part]
+        stack.append((lo, lo + mid))
+        stack.append((lo + mid, hi))
+    return order
+
+
 def build_clusters(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, mask: np.ndarray):
-    """Compute the Morton permutation and cluster/supercluster AABBs for a
+    """Compute the kd-leaf permutation and cluster/supercluster AABBs for a
     padded triangle SoA. Returns a dict:
       perm        (T,)   permutation to apply to every per-tri array
       cluster_min (C,3), cluster_max (C,3)
@@ -38,26 +80,55 @@ def build_clusters(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, mask: np.ndar
     Padded (masked-out) triangles sort to the end and produce empty AABBs
     (min > max), which fail every slab test.
     """
-    from mafrixraytracing_tpu.accel.morton import morton_codes
-
     T = v0.shape[0]
     n_valid = int(mask.sum())
     centroids = v0 + (e1 + e2) / 3.0
 
-    codes = morton_codes(centroids[:n_valid]) if n_valid else np.zeros(0, np.uint64)
-    perm_valid = np.argsort(codes, kind="stable")
-    perm = np.concatenate([perm_valid, np.arange(n_valid, T)]).astype(np.int64)
+    # --- split off mega triangles (see MEGA_FRAC above) ---
+    p1_all, p2_all = v0 + e1, v0 + e2
+    tmin_all = np.minimum(np.minimum(v0, p1_all), p2_all)
+    tmax_all = np.maximum(np.maximum(v0, p1_all), p2_all)
+    diag = np.linalg.norm(tmax_all[:n_valid] - tmin_all[:n_valid], axis=1) if n_valid else np.zeros(0)
+    scene_diag = (
+        float(np.linalg.norm(tmax_all[:n_valid].max(0) - tmin_all[:n_valid].min(0)))
+        if n_valid
+        else 1.0
+    )
+    is_mega = diag > MEGA_FRAC * max(scene_diag, 1e-12)
+    if int(is_mega.sum()) > MAX_MEGA:
+        # keep only the MAX_MEGA largest as mega
+        order_by_diag = np.argsort(-diag)
+        keep = order_by_diag[:MAX_MEGA]
+        is_mega = np.zeros(n_valid, bool)
+        is_mega[keep] = True
+    reg_ids = np.nonzero(~is_mega)[0]
+    mega_ids_local = np.nonzero(is_mega)[0]
+    n_mega = mega_ids_local.size
+
+    perm_reg = (
+        reg_ids[_median_split_order(centroids[reg_ids], CLUSTER_SIZE)]
+        if reg_ids.size
+        else np.zeros(0, np.int64)
+    )
+    perm = np.concatenate(
+        [perm_reg, mega_ids_local, np.arange(n_valid, T)]
+    ).astype(np.int64)
 
     v0s, e1s, e2s = v0[perm], e1[perm], e2[perm]
     masks = mask[perm]
+    # mega triangles live at positions [n_valid - n_mega, n_valid) after the
+    # permutation; exclude them from cluster AABBs (the dense test owns them)
+    clustered = masks.copy()
+    if n_mega:
+        clustered[n_valid - n_mega : n_valid] = False
 
     p0 = v0s
     p1 = v0s + e1s
     p2 = v0s + e2s
     tri_min = np.minimum(np.minimum(p0, p1), p2)
     tri_max = np.maximum(np.maximum(p0, p1), p2)
-    tri_min = np.where(masks[:, None], tri_min, _EMPTY_MIN)
-    tri_max = np.where(masks[:, None], tri_max, _EMPTY_MAX)
+    tri_min = np.where(clustered[:, None], tri_min, _EMPTY_MIN)
+    tri_max = np.where(clustered[:, None], tri_max, _EMPTY_MAX)
 
     C = (T + CLUSTER_SIZE - 1) // CLUSTER_SIZE
     pad = C * CLUSTER_SIZE - T
@@ -82,12 +153,17 @@ def build_clusters(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, mask: np.ndar
     super_min = cmin_p.reshape(S, SUPER_FACTOR, 3).min(axis=1)
     super_max = cmax_p.reshape(S, SUPER_FACTOR, 3).max(axis=1)
 
+    mega_ids = np.full((MAX_MEGA,), -1, np.int32)
+    if n_mega:
+        mega_ids[:n_mega] = np.arange(n_valid - n_mega, n_valid, dtype=np.int32)
+
     return {
         "perm": perm,
         "cluster_min": cluster_min.astype(np.float32),
         "cluster_max": cluster_max.astype(np.float32),
         "super_min": super_min.astype(np.float32),
         "super_max": super_max.astype(np.float32),
+        "mega_ids": mega_ids,
     }
 
 
@@ -100,7 +176,13 @@ def refresh_clusters(scene):
     import jax.numpy as jnp
 
     v0, e1, e2 = scene.tri_v0, scene.tri_e1, scene.tri_e2
-    mask = scene.tri_mask[:, None]
+    mask = scene.tri_mask
+    # mega triangles are owned by the dense test, not the clusters
+    # (-1 pads are redirected out of bounds and dropped: negative indices
+    # would otherwise wrap around)
+    safe_ids = jnp.where(scene.mega_ids >= 0, scene.mega_ids, v0.shape[0])
+    mega = jnp.zeros((v0.shape[0],), bool).at[safe_ids].set(True, mode="drop")
+    mask = (mask & ~mega)[:, None]
     p1, p2 = v0 + e1, v0 + e2
     tmin = jnp.minimum(jnp.minimum(v0, p1), p2)
     tmax = jnp.maximum(jnp.maximum(v0, p1), p2)

@@ -35,6 +35,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax import Array, lax
+from jax.ad_checkpoint import checkpoint_name
 
 from mafrixraytracing_tpu.core import rng
 from mafrixraytracing_tpu.core.math import dot
@@ -67,18 +68,30 @@ class PathTracerConfig:
     t_min: float = RAY_EPS
     chunk: int = 1024           # triangle chunk for the jnp intersector
     backend: str = "auto"       # "auto" | "jnp" | "pallas" — intersection backend
-    remat: bool = True          # rematerialize scan bodies: backward-pass HBM
-                                # is O(wavefront) instead of O(spp*depth*wavefront)
+    wavefront: int = 1 << 19    # target rays in flight: render_image groups
+                                # several spp into one wavefront so per-op
+                                # dispatch overhead amortizes (the TPU analog
+                                # of the reference saturating CPU cores with
+                                # `Array.Parallel`, `Integrators.fs:164`)
+    remat: bool = True          # checkpoint each spp sample with SAVE_ISECT:
+                                # backward-pass HBM is O(spp*depth) hit records
+                                # (not activations) and the traversal kernels
+                                # never re-run in the backward pass
+    sort_secondary: bool = True  # after the primary bounce, reorder the
+                                # wavefront by (origin-morton, direction
+                                # octant): bounce rays are incoherent in
+                                # pixel order, and the Pallas intersector
+                                # culls per 128-ray tile, so coherent tiles
+                                # make secondary searches ~4x faster (the
+                                # TPU analog of GPU wavefront ray sorting)
 
 
 def _occluder(scene, config):
     def occluded_fn(shadow_rays, t_min, t_max):
-        if config.backend in ("auto", "pallas"):
-            from mafrixraytracing_tpu.ops import dispatch
+        from mafrixraytracing_tpu.ops import dispatch
 
-            return dispatch.occluded(scene, shadow_rays, t_min, t_max,
-                                     chunk=config.chunk, backend=config.backend)
-        return isect.occluded(scene, shadow_rays, t_min, t_max, chunk=config.chunk)
+        return dispatch.occluded(scene, shadow_rays, t_min, t_max,
+                                 chunk=config.chunk, backend=config.backend)
 
     return occluded_fn
 
@@ -87,12 +100,56 @@ def _intersect(scene, rays, config, alive=None):
     # dead lanes get t_max = 0: the Pallas cull then excludes every cluster
     # for them, so retired paths cost (nearly) nothing in later bounces
     t_max = 1e8 if alive is None else jnp.where(alive, 1e8, 0.0)
-    if config.backend in ("auto", "pallas"):
-        from mafrixraytracing_tpu.ops import dispatch
+    from mafrixraytracing_tpu.ops import dispatch
 
-        return dispatch.intersect_scene(scene, rays, config.t_min, t_max,
-                                        chunk=config.chunk, backend=config.backend)
-    return isect.intersect_scene(scene, rays, config.t_min, t_max, chunk=config.chunk)
+    return dispatch.intersect_scene(scene, rays, config.t_min, t_max,
+                                    chunk=config.chunk, backend=config.backend)
+
+
+# Rematerialization policy: save the intersection-search results (named in
+# `ops.dispatch`) and the wavefront sort order, and recompute everything
+# else in the backward pass. The search is ~80% of forward cost but
+# non-differentiable, so this makes the backward pass cost O(shading), not
+# O(traversal), while residual memory stays at ~9 bytes/ray/bounce instead
+# of full activations.
+SAVE_ISECT = jax.checkpoint_policies.save_only_these_names(
+    "isect_t", "isect_idx", "occluded", "ray_order"
+)
+
+
+def _coherence_key(scene, rays: Rays, alive) -> Array:
+    """21-bit wavefront-coherence sort key: origin Morton (4 bits/axis,
+    dominant) | direction octant (3) | direction Morton (2 bits/axis). For
+    primary rays (shared origin) the direction bits reproduce a screen-tile
+    order; for bounce rays the origin bits group rays leaving nearby
+    surface points. Dead rays sort to the end, packing whole tiles that the
+    intersector then skips (their t_max is 0)."""
+    live_min = jnp.where(scene.cluster_min < 1e30, scene.cluster_min, jnp.inf)
+    live_max = jnp.where(scene.cluster_max > -1e30, scene.cluster_max, -jnp.inf)
+    lo = jnp.min(live_min, axis=0)
+    span = jnp.maximum(jnp.max(live_max, axis=0) - lo, 1e-6)
+    o, d = rays.origin, rays.direction
+
+    def interleave(v, bits):
+        k = jnp.zeros(v.shape[0], jnp.int32)
+        for b in range(bits):
+            k = (
+                k
+                | ((v[:, 0] >> b & 1) << (3 * b + 2))
+                | ((v[:, 1] >> b & 1) << (3 * b + 1))
+                | ((v[:, 2] >> b & 1) << (3 * b))
+            )
+        return k
+
+    q = jnp.clip(((o - lo) / span * 16.0).astype(jnp.int32), 0, 15)
+    octant = (
+        ((d[:, 0] > 0).astype(jnp.int32) << 2)
+        | ((d[:, 1] > 0).astype(jnp.int32) << 1)
+        | (d[:, 2] > 0).astype(jnp.int32)
+    )
+    qd = jnp.clip(((d * 0.5 + 0.5) * 4.0).astype(jnp.int32), 0, 3)
+    key = (interleave(q, 4) << 9) | (octant << 6) | interleave(qd, 2)
+    return jnp.where(alive, key, jnp.int32(1) << 30)
 
 
 def trace_radiance(scene, rays: Rays, keys: Array, config: PathTracerConfig) -> Array:
@@ -111,7 +168,7 @@ def _trace_physical(scene, rays, keys, config):
     occluded_fn = _occluder(scene, config)
 
     def bounce_step(carry, bounce):
-        rays, throughput, radiance, alive, prev_pdf, prev_specular = carry
+        rays, throughput, radiance, alive, prev_pdf, prev_specular, keys = carry
         bkey = rng.bounce_key(keys, bounce)
         hit = _intersect(scene, rays, config, alive=alive)
 
@@ -175,10 +232,8 @@ def _trace_physical(scene, rays, keys, config):
             alive = alive & survive
 
         throughput = jnp.where(alive[:, None], throughput, 0.0)
-        return (rays, throughput, radiance, alive, bs.pdf, bs.specular), None
+        return (rays, throughput, radiance, alive, bs.pdf, bs.specular, keys), None
 
-    if config.remat:
-        bounce_step = jax.checkpoint(bounce_step, prevent_cse=False)
     init = (
         rays,
         jnp.ones((B, 3), jnp.float32),
@@ -186,8 +241,35 @@ def _trace_physical(scene, rays, keys, config):
         jnp.ones((B,), bool),
         jnp.full((B,), 1.0, jnp.float32),
         jnp.ones((B,), bool),  # camera "bounce" counts as specular
+        keys,
     )
-    (_, _, radiance, _, _, _), _ = lax.scan(
+    if config.sort_secondary and config.max_depth > 1:
+        # primary bounce in pixel-tile order, then a wavefront re-sort
+        # before *every* later bounce: bounce rays are incoherent in pixel
+        # order and coherence decays again after each scatter, while the
+        # Pallas intersector culls per 128-ray tile. Each path carries its
+        # pixel id so radiance can be scattered back at the end; the
+        # estimator is exactly permutation-invariant (each lane is an
+        # independent path).
+        pid = jnp.arange(B, dtype=jnp.int32)
+        carry, _ = bounce_step(init, jnp.int32(0))
+        carry = carry + (pid,)
+
+        def sorted_step(carry, bounce):
+            carry, pid = carry[:-1], carry[-1]
+            order = jnp.argsort(_coherence_key(scene, carry[0], carry[3]))
+            order = checkpoint_name(order, "ray_order")
+            carry = jax.tree_util.tree_map(lambda x: x[order], carry)
+            pid = pid[order]
+            carry, _ = bounce_step(carry, bounce)
+            return carry + (pid,), None
+
+        carry, _ = lax.scan(
+            sorted_step, carry, jnp.arange(1, config.max_depth)
+        )
+        radiance, pid = carry[2], carry[-1]
+        return jnp.zeros((B, 3), jnp.float32).at[pid].set(radiance)
+    (_, _, radiance, _, _, _, _), _ = lax.scan(
         bounce_step, init, jnp.arange(config.max_depth)
     )
     return radiance
@@ -244,8 +326,6 @@ def _trace_mafrix(scene, rays, keys, config):
         throughput = jnp.where(alive[:, None], throughput, 0.0)
         return (rays, throughput, radiance, alive), None
 
-    if config.remat:
-        bounce_step = jax.checkpoint(bounce_step, prevent_cse=False)
     init = (
         rays,
         jnp.ones((B, 3), jnp.float32),
@@ -324,6 +404,14 @@ def tiled_pixel_order(width: int, height: int, tile_w: int = 16, tile_h: int = 8
     return perm.astype(np.int32), inv.astype(np.int32)
 
 
+def _spp_group(spp: int, B: int, target: int) -> int:
+    """Largest divisor of `spp` keeping the wavefront B*G near `target`."""
+    g = max(1, min(spp, target // max(B, 1)))
+    while spp % g:
+        g -= 1
+    return g
+
+
 @partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
 def render_image(
     scene,
@@ -335,27 +423,35 @@ def render_image(
     config: PathTracerConfig = PathTracerConfig(),
 ) -> Array:
     """Render a full frame: (height, width, 3) linear radiance, averaged over
-    `spp` jittered samples per pixel. One jit; the spp loop is a `lax.scan`
-    so compile time is O(1) in spp."""
+    `spp` jittered samples per pixel. One jit; samples are grouped into
+    wavefronts of ~config.wavefront rays (G spp per scan step) so dispatch
+    overhead amortizes, and the outer spp loop is a `lax.scan` so compile
+    time is O(1) in spp."""
     px, py = make_pixel_uv(width, height)
     perm, inv = tiled_pixel_order(width, height)
     px, py = px[perm], py[perm]  # tile-swizzled ray order (see tiled_pixel_order)
     B = px.shape[0]
+    G = _spp_group(spp, B, config.wavefront)
     base_keys = rng.pixel_keys(key, B)
+    pxg, pyg = jnp.tile(px, G), jnp.tile(py, G)
 
-    def one_sample(acc, s):
-        skeys = rng.sample_key(base_keys, s)
+    def one_group(acc, g):
+        sidx = g * G + jnp.arange(G)
+        skeys = jax.vmap(lambda s: rng.sample_key(base_keys, s))(sidx)
+        skeys = skeys.reshape(G * B)
         jit_uv = rng.uniforms(skeys, 1000, (2,))
         lens_uv = rng.uniforms(skeys, 1001, (2,))
-        u = (px + jit_uv[:, 0]) / width
-        v = (py + jit_uv[:, 1]) / height
+        u = (pxg + jit_uv[:, 0]) / width
+        v = (pyg + jit_uv[:, 1]) / height
         rays = camera.get_rays(u, v, lens_uv=lens_uv)
         rad = trace_radiance(scene, rays, skeys, config)
-        return acc + rad, None
+        return acc + rad.reshape(G, B, 3).sum(axis=0), None
 
     if config.remat:
-        one_sample = jax.checkpoint(one_sample, prevent_cse=False)
-    acc, _ = lax.scan(one_sample, jnp.zeros((B, 3), jnp.float32), jnp.arange(spp))
+        one_group = jax.checkpoint(one_group, policy=SAVE_ISECT, prevent_cse=False)
+    acc, _ = lax.scan(
+        one_group, jnp.zeros((B, 3), jnp.float32), jnp.arange(spp // G)
+    )
     img = acc[inv] / spp  # un-swizzle back to row-major
     return img.reshape(height, width, 3)
 

@@ -5,13 +5,22 @@ the Pallas path accelerates the closest-hit *search* on TPU and reuses the
 same differentiable attribute recompute for gradients. `backend="auto"`
 selects Pallas on TPU when the scene fits its kernel's assumptions, else
 falls back to jnp.
+
+Search results are tagged with `checkpoint_name` ('isect_t', 'isect_idx',
+'occluded'): under `jax.checkpoint(policy=save_only_these_names(...))`
+(see `integrator.path`) the backward pass reuses the saved search results
+instead of re-running the kernels — rematerialization then only re-executes
+the cheap shading math, not the O(rays x clusters) traversal.
 """
 from __future__ import annotations
 
 import jax
+from jax.ad_checkpoint import checkpoint_name
 
 from mafrixraytracing_tpu.core.types import Rays
 from mafrixraytracing_tpu.geometry import intersect as isect
+
+ISECT_NAMES = ("isect_t", "isect_idx", "occluded")
 
 
 def _pallas_available() -> bool:
@@ -37,13 +46,18 @@ def intersect_scene(scene, rays: Rays, t_min, t_max, chunk=1024, backend="auto")
         from mafrixraytracing_tpu.ops import intersect_pallas
 
         t, idx = intersect_pallas.find_closest(scene, rays, t_min, t_max)
-        return isect.hit_attributes(scene, rays, idx, t)
-    return isect.intersect_scene(scene, rays, t_min, t_max, chunk=chunk)
+    else:
+        t, idx = isect.find_closest(scene, rays, t_min, t_max, chunk=chunk)
+    t = checkpoint_name(t, "isect_t")
+    idx = checkpoint_name(idx, "isect_idx")
+    return isect.hit_attributes(scene, rays, idx, t)
 
 
 def occluded(scene, rays: Rays, t_min, t_max, chunk=1024, backend="auto"):
     if _use_pallas(scene, backend):
         from mafrixraytracing_tpu.ops import intersect_pallas
 
-        return intersect_pallas.occluded(scene, rays, t_min, t_max)
-    return isect.occluded(scene, rays, t_min, t_max, chunk=chunk)
+        occ = intersect_pallas.occluded(scene, rays, t_min, t_max)
+    else:
+        occ = isect.occluded(scene, rays, t_min, t_max, chunk=chunk)
+    return checkpoint_name(occ, "occluded")

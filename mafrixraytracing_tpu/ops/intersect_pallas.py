@@ -1,4 +1,4 @@
-"""Pallas TPU closest-hit kernel over Morton-clustered triangles.
+"""Pallas TPU closest-hit + any-hit kernels over Morton-clustered triangles.
 
 The hot loop of the whole framework — the TPU-native replacement for the
 reference's recursive BVH traversal + per-ray Moller-Trumbore
@@ -8,25 +8,34 @@ Two-phase design (build in `accel.clusters`):
 
 1. **Cull (XLA, vectorized):** slab-test every ray against every cluster
    AABB as one dense (B, C) VPU computation, reduce to per-ray-tile
-   "any ray hits cluster c" masks, and compact each tile's surviving
-   cluster ids to the front of a list with a stable argsort. This keeps
-   ALL control-flow decisions out of the kernel — on TPU the scalar core
-   is the bottleneck for per-cluster branching, not the vector math.
-2. **Intersect (Pallas):** grid over ray tiles of 128 (lane width); the
-   tile's cluster list and count arrive via scalar prefetch
-   (`PrefetchScalarGridSpec`), and the kernel runs a branch-free
-   `fori_loop` over exactly the surviving clusters, evaluating all
-   128 x 128 ray-triangle pairs per cluster as dense (sublane x lane)
-   vector ops. The whole triangle set lives in VMEM as a (T, 16) packed
-   array (spot 0.5 MB, Renault12TL 2.4 MB) — no per-cluster DMA.
+   survivor lists sorted by conservative entry distance (front-to-back).
+   This keeps all data-dependent control flow out of the kernel.
+2. **Intersect (Pallas):** grid over ray tiles of 128; each tile's ordered
+   cluster list, survivor count, and entry distances arrive via scalar
+   prefetch. The kernel walks the list front-to-back in chunks of
+   `EXIT_CHECK` clusters; after each chunk it compares the next cluster's
+   conservative entry distance against the tile's worst best-hit and exits
+   when no ray can still be improved — the wavefront analog of ordered BVH
+   descent with early termination. (Checking every cluster was measured
+   slower: each vector->scalar reduce serializes the VPU pipeline; chunking
+   amortizes it.)
 
-Divergence is handled the TPU way: per-*tile* work lists, dense masked
-arithmetic inside — no per-lane control flow anywhere.
+Data layout is chosen for the VPU: rays live on *sublanes* (a tile is 128
+rays), triangles on *lanes* (a cluster is 128 triangles), so every
+per-cluster triangle component is a native row slice of a component-major
+(C*16, 128) VMEM array and every ray-triangle quantity is a dense
+(128, 128) vector op. No per-lane control flow anywhere.
+
+Shadow rays use a separate **any-hit** kernel: no best-hit bookkeeping, and
+the tile exits as soon as every live lane is occluded.
 
 Differentiability: this module only performs the *search* (t, index); the
 differentiable attribute recompute stays in
 `geometry.intersect.hit_attributes` (detached-selection
 reparameterization), so backward cost is O(rays) regardless of scene size.
+The search results are tagged with `checkpoint_name` so a surrounding
+`jax.checkpoint(policy=save_only_these_names(...))` saves them instead of
+re-running the kernels in the backward pass (see `integrator.path`).
 """
 from __future__ import annotations
 
@@ -40,10 +49,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mafrixraytracing_tpu.accel.clusters import CLUSTER_SIZE
 
-TILE = 128          # rays per grid step (lane width)
+TILE = 128          # rays per grid step (sublane axis)
+GROUP = 8           # tiles per SMEM list block (sublane alignment)
+ROWS = 16           # rows per cluster in the packed triangle array
 BIG = 1e30
 DET_EPS = 1e-10
-MAX_VMEM_TRIS = 200_000  # (T,16) f32 must fit comfortably in VMEM
+MAX_VMEM_TRIS = 200_000  # (T/128, 16, 128) f32 must fit comfortably in VMEM
+EXIT_CHECK = 8      # clusters between early-termination checks
 
 # t_min is baked into the kernel as a compile-time constant (fixed config
 # value; the reference's epsilon protocol `Integrators.fs:44,108`).
@@ -71,10 +83,7 @@ def _cull(o, d, t_max, cmin, cmax):
               distance (front-to-back), surviving clusters first
       counts  (tiles,)  i32 — number of survivors
       entries (tiles, C) f32 — tile-min entry distance per sorted slot
-    Front-to-back order + the entry distances let the kernel terminate a
-    tile as soon as every ray's best hit is closer than the next cluster —
-    the wavefront analog of ordered BVH descent (reference `BvhNode.fs:62-83`
-    descends both children; this prunes strictly better)."""
+    """
     inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, jnp.where(d >= 0, 1e-12, -1e-12))
     # per-axis accumulation keeps temps at (B, C) instead of (B, C, 3)
     tn = jnp.full((o.shape[0], cmin.shape[0]), -BIG, jnp.float32)
@@ -95,139 +104,301 @@ def _cull(o, d, t_max, cmin, cmax):
 
 
 # ---------------------------------------------------------------------------
-# Phase 2: Pallas intersect over surviving clusters
+# Phase 2: Pallas kernels
 # ---------------------------------------------------------------------------
 
 
-def _kernel(
-    list_ref, count_ref, entry_ref, o_ref, d_ref, tmax_ref, tri_ref, t_out, i_out
+def _mt_terms(rc, tri_ref, c):
+    """Dense plane + precomputed-barycentric hit test for one
+    (ray tile) x (cluster) block — algebraically equal to Moller-Trumbore
+    (`Core/Shape/Trangle.fs:120-145`) but ~40 VPU ops/pair instead of ~70:
+    the per-triangle constants (plane normal/offset, barycentric gradients)
+    are folded at pack time (`pack_tris`), so the kernel only evaluates
+      t = (dp - n.o) / (n.d);  p = o + t d;  u = g1.p - c1;  v = g2.p - c2.
+    rc: tuple of (TILE, 1) ray columns; c: cluster id (scalar).
+    Returns (t, valid_geom) as (TILE, CLUSTER_SIZE) arrays; t is the signed
+    hit distance with no range test applied, valid_geom covers det/u/v."""
+    ox, oy, oz, dx, dy, dz = rc
+    base = pl.multiple_of(c * ROWS, ROWS)
+    blk = tri_ref[pl.ds(base, ROWS), :]  # (16, 128): component-major rows
+    nx, ny, nz, dp = blk[0:1, :], blk[1:2, :], blk[2:3, :], blk[3:4, :]
+    g1x, g1y, g1z, c1 = blk[4:5, :], blk[5:6, :], blk[6:7, :], blk[7:8, :]
+    g2x, g2y, g2z, c2 = blk[8:9, :], blk[9:10, :], blk[10:11, :], blk[11:12, :]
+
+    det = dx * nx + dy * ny + dz * nz      # n.d (128 rays x 128 tris)
+    ok = jnp.abs(det) > DET_EPS
+    safe = jnp.where(ok, det, 1.0)
+    # approximate reciprocal + one Newton step: ~f32 accuracy without the
+    # VPU's slow true divide
+    r0 = pl.reciprocal(safe, approx=True)
+    invd = r0 * (2.0 - safe * r0)
+    t = (dp - (ox * nx + oy * ny + oz * nz)) * invd
+    px = ox + t * dx
+    py = oy + t * dy
+    pz = oz + t * dz
+    u = g1x * px + g1y * py + g1z * pz - c1
+    v = g2x * px + g2y * py + g2z * pz - c2
+    valid = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    return t, valid
+
+
+def _closest_kernel(
+    list_ref, count_ref, entry_ref, ray_ref, tri_ref, t_out, i_out
 ):
-    """One ray tile vs. its surviving clusters, front-to-back with early
-    termination.
+    """One ray tile vs. its surviving clusters, front-to-back with chunked
+    early termination.
 
-    list_ref:  (tiles, C) i32 scalar-prefetch — cluster ids, front-to-back
-    count_ref: (tiles,)  i32 scalar-prefetch — number of survivors
-    entry_ref: (tiles, C) f32 scalar-prefetch — tile-min entry distance
-    o_ref/d_ref: (3, TILE) ray origins/directions (VMEM block)
-    tmax_ref:  (1, TILE) per-ray far bound
-    tri_ref:   (T, 16) packed triangles (VMEM, full): v0|e1|e2|pad
-    t_out/i_out: (1, TILE) best hit distance / global tri index (-1 = miss)
+    list_ref:  (GROUP, C) i32 SMEM block — cluster ids, front-to-back; this
+               tile's row is `program_id % GROUP` (see `_search_specs`)
+    count_ref: (GROUP, 1) i32 SMEM block — number of survivors
+    entry_ref: (GROUP, C) f32 SMEM block — tile-min entry distances
+    ray_ref:   (TILE, 8) rays [ox oy oz dx dy dz tmax pad] (VMEM block)
+    tri_ref:   (C*16, 128) packed component-major triangles (VMEM, full)
+    t_out/i_out: (TILE, 1) best hit distance / global tri index (-1 = miss)
     """
-    g = pl.program_id(0)
-    ox, oy, oz = o_ref[0:1, :], o_ref[1:2, :], o_ref[2:3, :]
-    dx, dy, dz = d_ref[0:1, :], d_ref[1:2, :], d_ref[2:3, :]
+    r = pl.program_id(0) % GROUP
+    rc = tuple(ray_ref[:, i : i + 1] for i in range(6))
+    t_max = ray_ref[:, 6:7]
+    lanes = lax.broadcasted_iota(jnp.int32, (TILE, CLUSTER_SIZE), 1)
+    n = count_ref[r, 0]
 
-    def test_cluster(k, best):
-        best_t, best_i = best
-        c = list_ref[g, k]
-        base = pl.multiple_of(c * CLUSTER_SIZE, CLUSTER_SIZE)
-        blk = tri_ref[pl.ds(base, CLUSTER_SIZE), :]  # (128, 16)
-        v0x, v0y, v0z = blk[:, 0:1], blk[:, 1:2], blk[:, 2:3]
-        e1x, e1y, e1z = blk[:, 3:4], blk[:, 4:5], blk[:, 5:6]
-        e2x, e2y, e2z = blk[:, 6:7], blk[:, 7:8], blk[:, 8:9]
-
-        # pvec = d x e2 -> (128 tris on sublanes, 128 rays on lanes)
-        px = dy * e2z - dz * e2y
-        py = dz * e2x - dx * e2z
-        pz = dx * e2y - dy * e2x
-        det = e1x * px + e1y * py + e1z * pz
-        ok = jnp.abs(det) > DET_EPS
-        safe = jnp.where(ok, det, 1.0)
-        # approximate reciprocal + one Newton step: ~f32 accuracy without
-        # the VPU's slow true divide (one divide per ray-tri pair is the
-        # single most expensive op in the plain formulation)
-        r0 = pl.reciprocal(safe, approx=True)
-        invd = r0 * (2.0 - safe * r0)
-        tvx = ox - v0x
-        tvy = oy - v0y
-        tvz = oz - v0z
-        u = (tvx * px + tvy * py + tvz * pz) * invd
-        qx = tvy * e1z - tvz * e1y
-        qy = tvz * e1x - tvx * e1z
-        qz = tvx * e1y - tvy * e1x
-        v = (dx * qx + dy * qy + dz * qz) * invd
-        t = (e2x * qx + e2y * qy + e2z * qz) * invd
-        valid = ok & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+    def test_cluster(k, best_t, best_i):
+        c = list_ref[r, k]
+        t, valid = _mt_terms(rc, tri_ref, c)
         valid = valid & (t > T_MIN_CONST) & (t < best_t)
         t = jnp.where(valid, t, BIG)
-        tmin = jnp.min(t, axis=0, keepdims=True)               # (1, TILE)
-        rows = lax.broadcasted_iota(jnp.int32, t.shape, 0)
-        arg = jnp.min(
-            jnp.where(t <= tmin, rows, CLUSTER_SIZE), axis=0, keepdims=True
+        tmin = jnp.min(t, axis=1, keepdims=True)               # (TILE, 1)
+        lane = jnp.min(
+            jnp.where(t <= tmin, lanes, CLUSTER_SIZE), axis=1, keepdims=True
         )
         better = tmin < best_t
         new_t = jnp.where(better, tmin, best_t)
-        new_i = jnp.where(better, c * CLUSTER_SIZE + arg, best_i)
+        new_i = jnp.where(better, c * CLUSTER_SIZE + lane, best_i)
         return new_t, new_i
 
-    # NOTE: a while_loop with "next entry > max(best_t)" early termination
-    # was measured SLOWER than the plain fori (9.1 ms vs 6.9 ms on spot):
-    # the per-iteration vector->scalar reduce serializes the VPU pipeline.
-    # The entry-sorted list still helps: nearer clusters shrink best_t
-    # early, so farther clusters' triangles fail the (t < best_t) mask and
-    # their min/select chain stays cheap.
-    n = count_ref[g]
-    del entry_ref  # ordering is baked into list_ref
-    init = (tmax_ref[:], jnp.full((1, TILE), -1, jnp.int32))
-    best_t, best_i = lax.fori_loop(0, n, test_cluster, init)
+    def chunk_body(state):
+        k, best_t, best_i = state
+
+        def one(j, bb):
+            bt, bi = bb
+            idx = jnp.minimum(k + j, jnp.maximum(n - 1, 0))
+            nt, ni = test_cluster(idx, bt, bi)
+            in_range = (k + j) < n
+            bt = jnp.where(in_range, nt, bt)
+            bi = jnp.where(in_range, ni, bi)
+            return bt, bi
+
+        best_t, best_i = lax.fori_loop(0, EXIT_CHECK, one, (best_t, best_i))
+        return k + EXIT_CHECK, best_t, best_i
+
+    def chunk_cond(state):
+        k, best_t, _ = state
+        # next chunk can only help if some ray's best hit is farther than
+        # the next cluster's conservative entry distance
+        worst = jnp.max(best_t)
+        return (k < n) & (entry_ref[r, jnp.minimum(k, n - 1)] < worst)
+
+    init = (
+        jnp.int32(0),
+        t_max,
+        jnp.full((TILE, 1), -1, jnp.int32),
+    )
+    _, best_t, best_i = lax.while_loop(chunk_cond, chunk_body, init)
     t_out[:] = best_t
-    i_out[:] = jnp.where(best_t < tmax_ref[:], best_i, -1)
+    i_out[:] = jnp.where(best_t < t_max, best_i, -1)
 
 
-def _pack_tris(scene):
-    """(T, 16) packed v0|e1|e2 (+7 pad columns for lane alignment)."""
+def _anyhit_kernel(list_ref, count_ref, entry_ref, ray_ref, tri_ref, occ_out):
+    """Shadow-ray occlusion: exits as soon as every live lane is blocked.
+    Same layout as `_closest_kernel`; occ_out: (TILE, 1) i32 (1 = occluded).
+    No best-hit bookkeeping — any valid hit in (t_min, t_max) occludes."""
+    r = pl.program_id(0) % GROUP
+    rc = tuple(ray_ref[:, i : i + 1] for i in range(6))
+    t_max = ray_ref[:, 6:7]
+    n = count_ref[r, 0]
+    del entry_ref
+
+    # `blocked` is carried as i32 (Mosaic cannot select between i1 vectors)
+    def test_cluster(k, blocked):
+        c = list_ref[r, k]
+        t, valid = _mt_terms(rc, tri_ref, c)
+        hit = valid & (t > T_MIN_CONST) & (t < t_max)
+        return jnp.maximum(
+            blocked, jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
+        )
+
+    def chunk_body(state):
+        k, blocked = state
+
+        def one(j, b):
+            idx = jnp.minimum(k + j, jnp.maximum(n - 1, 0))
+            nb = test_cluster(idx, b)
+            return jnp.where((k + j) < n, nb, b)
+
+        blocked = lax.fori_loop(0, EXIT_CHECK, one, blocked)
+        return k + EXIT_CHECK, blocked
+
+    def chunk_cond(state):
+        k, blocked = state
+        # a lane is "resolved" if blocked or dead (t_max <= t_min)
+        resolved = (blocked > 0) | (t_max <= T_MIN_CONST)
+        return (k < n) & jnp.logical_not(jnp.all(resolved))
+
+    init = (jnp.int32(0), jnp.zeros((TILE, 1), jnp.int32))
+    _, blocked = lax.while_loop(chunk_cond, chunk_body, init)
+    occ_out[:] = blocked
+
+
+def pack_tris(scene):
+    """(C*16, 128) component-major packed triangle records: rows c*16+k hold
+    component k of cluster c's 128 triangles across lanes. The 12 components
+    are the precomputed plane + barycentric-transform form consumed by
+    `_mt_terms`:
+      n = e1 x e2, dp = n.v0            (plane:   n.p = dp)
+      g1 = (e2 x n)/(n.n), c1 = g1.v0   (u(p) = g1.p - c1)
+      g2 = (n x e1)/(n.n), c2 = g2.v0   (v(p) = g2.p - c2)
+    Rows 12..15 are padding for sublane alignment. Mega triangles are zeroed
+    (n == 0 -> det == 0 -> never hit): the dense jnp test in `_mega_hits`
+    owns them, and the cluster AABBs exclude them."""
     T = scene.tri_v0.shape[0]
-    return jnp.concatenate(
-        [scene.tri_v0, scene.tri_e1, scene.tri_e2, jnp.zeros((T, 7), jnp.float32)],
+    C = T // CLUSTER_SIZE
+    v0, e1, e2 = scene.tri_v0, scene.tri_e1, scene.tri_e2
+    n = jnp.cross(e1, e2)
+    nn = jnp.maximum(jnp.sum(n * n, axis=1, keepdims=True), 1e-30)
+    g1 = jnp.cross(e2, n) / nn
+    g2 = jnp.cross(n, e1) / nn
+    comp = jnp.concatenate(
+        [
+            n,
+            jnp.sum(n * v0, axis=1, keepdims=True),
+            g1,
+            jnp.sum(g1 * v0, axis=1, keepdims=True),
+            g2,
+            jnp.sum(g2 * v0, axis=1, keepdims=True),
+        ],
         axis=1,
+    )  # (T, 12)
+    safe_ids = jnp.where(scene.mega_ids >= 0, scene.mega_ids, T)
+    comp = comp.at[safe_ids].set(0.0, mode="drop")
+    comp = comp.reshape(C, CLUSTER_SIZE, 12).transpose(0, 2, 1)  # (C, 12, 128)
+    pad = jnp.zeros((C, ROWS - 12, CLUSTER_SIZE), jnp.float32)
+    return jnp.concatenate([comp, pad], axis=1).reshape(C * ROWS, CLUSTER_SIZE)
+
+
+def _mega_hits(scene, o, d, t_min, t_max):
+    """Dense jnp Moller-Trumbore over the (≤ MAX_MEGA) mega triangles.
+    Returns (t, idx): nearest mega hit within (t_min, t_max) per ray, with
+    idx the *global* triangle index (-1 on miss / t = BIG)."""
+    from mafrixraytracing_tpu.geometry.intersect import tri_hit_terms
+
+    T = scene.tri_v0.shape[0]
+    ids = scene.mega_ids
+    live = ids >= 0
+    idc = jnp.clip(ids, 0, T - 1)
+    v0 = scene.tri_v0[idc]
+    e1 = scene.tri_e1[idc]
+    e2 = scene.tri_e2[idc]
+    t, u, v, det = tri_hit_terms(o[:, None, :], d[:, None, :], v0[None], e1[None], e2[None])
+    ok = (
+        live[None]
+        & (jnp.abs(det) > DET_EPS)
+        & (u >= 0.0)
+        & (v >= 0.0)
+        & (u + v <= 1.0)
+        & (t > t_min)
+        & (t < t_max[:, None])
+    )
+    t = jnp.where(ok, t, BIG)
+    arg = jnp.argmin(t, axis=1)
+    best = jnp.take_along_axis(t, arg[:, None], axis=1)[:, 0]
+    idx = jnp.where(best < BIG, idc[arg], -1)
+    return best, idx
+
+
+def _pack_rays(o, d, t_max):
+    """(B, 8) ray records [ox oy oz dx dy dz tmax pad]."""
+    B = o.shape[0]
+    return jnp.concatenate(
+        [o, d, t_max[:, None], jnp.zeros((B, 1), jnp.float32)], axis=1
+    )
+
+
+def _search_specs(n_tiles, C):
+    """Common grid spec: SMEM blocks of GROUP=8 tile rows for (lists,
+    counts, entries) — SMEM block sublane counts must be multiples of 8, so
+    each block carries 8 tiles' lists and the kernel reads row
+    `program_id % 8` — a per-tile VMEM ray block, and the whole packed
+    triangle array resident in VMEM. Blocked SMEM (vs. scalar prefetch)
+    keeps SMEM use at O(C) per step instead of O(tiles * C) total, which
+    overflows the 1 MiB SMEM for large wavefronts."""
+    return dict(
+        grid=(n_tiles,),
+        in_specs=[
+            pl.BlockSpec((GROUP, C), lambda g: (g // GROUP, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((GROUP, 1), lambda g: (g // GROUP, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((GROUP, C), lambda g: (g // GROUP, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((TILE, 8), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
     )
 
 
 @partial(jax.jit, static_argnames=("interpret",))
-def _find_closest_impl(tri_pack, lists, counts, entries, o, d, t_max, interpret=False):
-    """o, d: (3, B) transposed rays; t_max: (1, B). Returns t (B,), idx (B,)."""
-    B = o.shape[1]
+def _closest_impl(tri_pack, lists, counts, entries, rays8, interpret=False):
+    B = rays8.shape[0]
     n_tiles = B // TILE
-    T = tri_pack.shape[0]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((3, TILE), lambda g, *_: (0, g), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, TILE), lambda g, *_: (0, g), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda g, *_: (0, g), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+    specs = _search_specs(n_tiles, lists.shape[1])
+    T = tri_pack.shape[0] // ROWS * CLUSTER_SIZE
+    t, i = pl.pallas_call(
+        _closest_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
         ],
         out_specs=[
-            pl.BlockSpec((1, TILE), lambda g, *_: (0, g), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE), lambda g, *_: (0, g), memory_space=pltpu.VMEM),
-        ],
-    )
-    t, i = pl.pallas_call(
-        _kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((1, B), jnp.float32),
-            jax.ShapeDtypeStruct((1, B), jnp.int32),
+            pl.BlockSpec((TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
         ],
         cost_estimate=pl.CostEstimate(
-            flops=40 * B * T // 8, bytes_accessed=B * 64 + T * 64, transcendentals=0
+            flops=50 * B * T // 4, bytes_accessed=B * 64 + T * 64, transcendentals=0
         ),
         interpret=interpret,
-    )(lists, counts, entries, o, d, t_max, tri_pack)
-    return t[0], i[0]
+        **specs,
+    )(lists, counts.reshape(-1, 1), entries, rays8, tri_pack)
+    return t[:, 0], i[:, 0]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _anyhit_impl(tri_pack, lists, counts, entries, rays8, interpret=False):
+    B = rays8.shape[0]
+    n_tiles = B // TILE
+    specs = _search_specs(n_tiles, lists.shape[1])
+    T = tri_pack.shape[0] // ROWS * CLUSTER_SIZE
+    (occ,) = pl.pallas_call(
+        _anyhit_kernel,
+        out_shape=[jax.ShapeDtypeStruct((B, 1), jnp.int32)],
+        out_specs=[
+            pl.BlockSpec((TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=45 * B * T // 8, bytes_accessed=B * 64 + T * 64, transcendentals=0
+        ),
+        interpret=interpret,
+        **specs,
+    )(lists, counts.reshape(-1, 1), entries, rays8, tri_pack)
+    return occ[:, 0] > 0
 
 
 # The search is non-differentiable by design (detached closest-hit
 # selection); declare identically-zero tangents so AD never tries to
 # differentiate through the pallas_call (its jvp rule is unimplemented, and
 # stop_gradient alone does not stop jvp tracing through the jit boundary).
-@partial(jax.custom_jvp, nondiff_argnums=(7,))
-def _search(tri_pack, lists, counts, entries, o, d, t_max, interpret):
-    return _find_closest_impl(
-        tri_pack, lists, counts, entries, o, d, t_max, interpret=interpret
-    )
+@partial(jax.custom_jvp, nondiff_argnums=(5,))
+def _search(tri_pack, lists, counts, entries, rays8, interpret):
+    return _closest_impl(tri_pack, lists, counts, entries, rays8, interpret=interpret)
 
 
 @_search.defjvp
@@ -241,20 +412,31 @@ def _search_jvp(interpret, primals, tangents):
     )
 
 
-def find_closest(scene, rays, t_min, t_max, interpret=None):
-    """Pallas-accelerated closest-hit search (triangles via the kernel,
-    spheres merged in jnp). Same contract as
-    `geometry.intersect.find_closest`. Non-differentiable by design."""
-    from mafrixraytracing_tpu.geometry.intersect import _closest_sphere
+@partial(jax.custom_jvp, nondiff_argnums=(5,))
+def _search_any(tri_pack, lists, counts, entries, rays8, interpret):
+    return _anyhit_impl(tri_pack, lists, counts, entries, rays8, interpret=interpret)
 
+
+@_search_any.defjvp
+def _search_any_jvp(interpret, primals, tangents):
+    occ = _search_any(*primals, interpret)
+    import numpy as _np
+
+    return occ, _np.zeros(occ.shape, jax.dtypes.float0)
+
+
+def _prep(scene, rays, t_min, t_max, interpret, anyhit=False):
+    """Shared preamble: detach, pad to a TILE multiple, dense mega-triangle
+    test (capping t_max so the cull prunes everything behind the first mega
+    hit), cull, pack. Returns the mega results for the caller to merge."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-
     o = lax.stop_gradient(rays.origin)
     d = lax.stop_gradient(rays.direction)
     scene = jax.tree_util.tree_map(lax.stop_gradient, scene)
     B = o.shape[0]
-    Bp = ((B + TILE - 1) // TILE) * TILE
+    align = TILE * GROUP  # SMEM list blocks cover GROUP tiles at a time
+    Bp = ((B + align - 1) // align) * align
     t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (B,))
     if Bp != B:
         pad = Bp - B
@@ -266,21 +448,47 @@ def find_closest(scene, rays, t_min, t_max, interpret=None):
     else:
         t_max_p = t_max_arr
 
+    mega_t, mega_idx = _mega_hits(scene, o, d, t_min, t_max_p)
+    if anyhit:
+        # an occluding mega hit resolves the ray: zero t_max skips every
+        # cluster for it in both the cull and the kernel
+        t_max_k = jnp.where(mega_idx >= 0, 0.0, t_max_p)
+    else:
+        t_max_k = jnp.minimum(t_max_p, mega_t)
+
     lists, counts, entries = _cull(
-        o, d, t_max_p, scene.cluster_min, scene.cluster_max
+        o, d, t_max_k, scene.cluster_min, scene.cluster_max
     )
-    tri_pack = _pack_tris(scene)
-    tt, ti = _search(
-        tri_pack, lists, counts, entries, o.T, d.T, t_max_p[None, :], interpret
-    )
+    rays8 = _pack_rays(o, d, t_max_k)
+    return (scene, pack_tris(scene), lists, counts, entries, rays8, B,
+            t_max_arr, mega_t, mega_idx, interpret)
+
+
+def find_closest(scene, rays, t_min, t_max, interpret=None):
+    """Pallas-accelerated closest-hit search (clustered triangles via the
+    kernel; mega triangles and spheres merged densely in jnp). Same contract
+    as `geometry.intersect.find_closest`. Non-differentiable by design."""
+    from mafrixraytracing_tpu.geometry.intersect import _closest_sphere
+
+    (scene, tri_pack, lists, counts, entries, rays8, B, t_max_arr,
+     mega_t, mega_idx, interpret) = _prep(scene, rays, t_min, t_max, interpret)
+    tt, ti = _search(tri_pack, lists, counts, entries, rays8, interpret)
     tt, ti = tt[:B], ti[:B]
+    mega_t, mega_idx = mega_t[:B], mega_idx[:B]
+
+    tt = jnp.where(ti >= 0, tt, BIG)
+    # merge mega triangles (kernel t_max was capped at mega_t, so any
+    # clustered hit it reports is strictly closer than the mega hit)
+    use_mega = (mega_idx >= 0) & (mega_t < tt)
+    tt = jnp.where(use_mega, mega_t, tt)
+    ti = jnp.where(use_mega, mega_idx, ti)
 
     # merge spheres (jnp; sphere tables are small)
+    o = rays8[:B, 0:3]
+    d = rays8[:B, 3:6]
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (B,))
-    st, si = _closest_sphere(scene, o[:B], d[:B], t_min_b, t_max_arr)
+    st, si = _closest_sphere(scene, o, d, t_min_b, t_max_arr)
     T = scene.tri_v0.shape[0]
-    tri_valid = ti >= 0
-    tt = jnp.where(tri_valid, tt, BIG)
     use_sphere = st < tt
     t = jnp.where(use_sphere, st, tt)
     idx = jnp.where(use_sphere, T + si, ti)
@@ -289,7 +497,20 @@ def find_closest(scene, rays, t_min, t_max, interpret=None):
 
 
 def occluded(scene, rays, t_min, t_max, interpret=None):
-    """Any-hit query via the closest-hit kernel (shadow rays). `t_max` may
-    be per-ray; the per-ray far bound makes the search range exact."""
-    t, idx = find_closest(scene, rays, t_min, t_max, interpret=interpret)
-    return idx >= 0
+    """Any-hit query (shadow rays): dedicated early-exit kernel for
+    clustered triangles; mega triangles + spheres in jnp. `t_max` may be
+    per-ray. Rays already blocked by a mega hit skip the kernel entirely
+    (their capped t_max empties the cluster list)."""
+    from mafrixraytracing_tpu.geometry.intersect import _closest_sphere
+
+    (scene, tri_pack, lists, counts, entries, rays8, B, t_max_arr,
+     mega_t, mega_idx, interpret) = _prep(
+        scene, rays, t_min, t_max, interpret, anyhit=True
+    )
+    occ = _search_any(tri_pack, lists, counts, entries, rays8, interpret)
+    occ = occ[:B] | (mega_idx[:B] >= 0)
+    o = rays8[:B, 0:3]
+    d = rays8[:B, 3:6]
+    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (B,))
+    st, _ = _closest_sphere(scene, o, d, t_min_b, t_max_arr)
+    return occ | (st < BIG)

@@ -75,13 +75,15 @@ class ScenePytree(struct.PyTreeNode):
     plight_mask: Array
     # --- environment ---
     background: Array       # (3,) constant background radiance (miss shader)
-    # --- acceleration: Morton-clustered AABBs (accel.clusters). Triangles
-    # are stored in Morton order; cluster c covers tris
+    # --- acceleration: kd-leaf clustered AABBs (accel.clusters). Triangles
+    # are stored in median-split leaf order; cluster c covers tris
     # [c*CLUSTER_SIZE, (c+1)*CLUSTER_SIZE). Empty clusters have min > max. ---
     cluster_min: Array      # (C, 3)
     cluster_max: Array      # (C, 3)
     super_min: Array        # (S, 3) second level over SUPER_FACTOR clusters
     super_max: Array        # (S, 3)
+    mega_ids: Array         # (MAX_MEGA,) i32 — huge tris excluded from the
+                            # clusters, tested densely; -1 padded
 
     @property
     def num_tris(self) -> int:
@@ -329,6 +331,7 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
         cluster_max=jnp.asarray(accel["cluster_max"]),
         super_min=jnp.asarray(accel["super_min"]),
         super_max=jnp.asarray(accel["super_max"]),
+        mega_ids=jnp.asarray(accel["mega_ids"]),
     )
 
     cam_spec = scene_spec.camera
