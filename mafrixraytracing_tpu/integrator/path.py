@@ -380,15 +380,23 @@ def make_pixel_uv(width: int, height: int):
     return i.reshape(-1), j.reshape(-1)
 
 
-def tiled_pixel_order(width: int, height: int, tile_w: int = 16, tile_h: int = 8):
+def _default_tile_shape():
+    from mafrixraytracing_tpu.ops.intersect_pallas import TILE
+
+    return {32: (8, 4), 64: (8, 8), 128: (16, 8)}.get(TILE, (8, 4))
+
+
+def tiled_pixel_order(width: int, height: int, tile_w: int = 0, tile_h: int = 0):
     """Permutation putting pixels in (tile-row, tile-col, in-tile) order so
     each consecutive run of tile_w*tile_h rays is a compact screen block.
-    The Pallas intersector processes rays in tiles of 128 lanes; a 16x8
-    pixel block has a far tighter frustum than a 128-pixel scanline run, so
-    cluster culling removes much more work. Returns (perm, inv_perm) as
-    numpy arrays (host; width/height are static)."""
+    The Pallas intersector processes rays in tiles of `TILE` sublanes; an
+    8x4 pixel block has a far tighter frustum than a TILE-pixel scanline
+    run, so cluster culling removes much more work. Returns
+    (perm, inv_perm) as numpy arrays (host; width/height are static)."""
     import numpy as np
 
+    if not tile_w or not tile_h:
+        tile_w, tile_h = _default_tile_shape()
     ids = np.arange(width * height, dtype=np.int64)
     x = ids % width
     y = ids // width
@@ -412,6 +420,19 @@ def _spp_group(spp: int, B: int, target: int) -> int:
     return g
 
 
+def _spp_tile_shape(G: int):
+    """Pixel-block shape for the intersector ray tile when each pixel
+    carries G consecutive samples: TILE/G pixels, laid out near-square."""
+    from mafrixraytracing_tpu.ops.intersect_pallas import TILE
+
+    px = max(1, TILE // max(G, 1))
+    h = 1
+    while h * 2 * h * 2 <= px:
+        h *= 2
+    w = max(1, px // h)
+    return w, h
+
+
 @partial(jax.jit, static_argnames=("width", "height", "spp", "config"))
 def render_image(
     scene,
@@ -427,25 +448,29 @@ def render_image(
     wavefronts of ~config.wavefront rays (G spp per scan step) so dispatch
     overhead amortizes, and the outer spp loop is a `lax.scan` so compile
     time is O(1) in spp."""
-    px, py = make_pixel_uv(width, height)
-    perm, inv = tiled_pixel_order(width, height)
-    px, py = px[perm], py[perm]  # tile-swizzled ray order (see tiled_pixel_order)
-    B = px.shape[0]
+    B = width * height
     G = _spp_group(spp, B, config.wavefront)
+    px, py = make_pixel_uv(width, height)
+    perm, inv = tiled_pixel_order(width, height, *_spp_tile_shape(G))
+    px, py = px[perm], py[perm]  # tile-swizzled ray order (see tiled_pixel_order)
     base_keys = rng.pixel_keys(key, B)
-    pxg, pyg = jnp.tile(px, G), jnp.tile(py, G)
+    # interleave: a pixel's G samples sit consecutively, so one TILE-ray
+    # intersector tile covers only TILE/G distinct pixels — the tile frustum
+    # shrinks to a ~2x2..4x4 pixel block and far fewer clusters survive the
+    # cull (the dominant kernel cost is proportional to survivors)
+    pxg, pyg = jnp.repeat(px, G), jnp.repeat(py, G)
 
     def one_group(acc, g):
         sidx = g * G + jnp.arange(G)
         skeys = jax.vmap(lambda s: rng.sample_key(base_keys, s))(sidx)
-        skeys = skeys.reshape(G * B)
+        skeys = jnp.swapaxes(skeys, 0, 1).reshape(B * G)  # pixel-major
         jit_uv = rng.uniforms(skeys, 1000, (2,))
         lens_uv = rng.uniforms(skeys, 1001, (2,))
         u = (pxg + jit_uv[:, 0]) / width
         v = (pyg + jit_uv[:, 1]) / height
         rays = camera.get_rays(u, v, lens_uv=lens_uv)
         rad = trace_radiance(scene, rays, skeys, config)
-        return acc + rad.reshape(G, B, 3).sum(axis=0), None
+        return acc + rad.reshape(B, G, 3).sum(axis=1), None
 
     if config.remat:
         one_group = jax.checkpoint(one_group, policy=SAVE_ISECT, prevent_cse=False)

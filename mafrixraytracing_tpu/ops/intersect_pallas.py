@@ -49,13 +49,23 @@ from jax.experimental.pallas import tpu as pltpu
 
 from mafrixraytracing_tpu.accel.clusters import CLUSTER_SIZE
 
-TILE = 128          # rays per grid step (sublane axis)
+import os as _os
+
+TILE = int(_os.environ.get("MFX_TILE", "32"))
+                    # rays per grid step (sublane axis): small tiles have far
+                    # tighter frusta than 128-ray tiles, so fewer clusters
+                    # survive the cull and the early-exit bound converges
+                    # sooner; (32, 128) ops still fill every VPU lane
 GROUP = 8           # tiles per SMEM list block (sublane alignment)
 ROWS = 16           # rows per cluster in the packed triangle array
 BIG = 1e30
 DET_EPS = 1e-10
 MAX_VMEM_TRIS = 200_000  # (T/128, 16, 128) f32 must fit comfortably in VMEM
-EXIT_CHECK = 8      # clusters between early-termination checks
+EXIT_CHECK = int(_os.environ.get("MFX_EXIT_CHECK", "2"))
+                    # clusters between early-termination checks: most of a
+                    # ray's surviving clusters lie *behind* its first hit
+                    # (the cull cannot know hit distances), so checking
+                    # often exits the walk close to the true visit bound
 
 # t_min is baked into the kernel as a compile-time constant (fixed config
 # value; the reference's epsilon protocol `Integrators.fs:44,108`).
@@ -76,6 +86,43 @@ def supports(scene) -> bool:
 # ---------------------------------------------------------------------------
 
 
+def _bitonic_argsort_rows(entry):
+    """Row-wise ascending sort of (rows, C) float keys, returning
+    (sorted_keys, sorted_ids). A hand-rolled bitonic network: ~log^2(C)
+    stages of static lane permutes + selects, which the VPU chews through in
+    microseconds — `jnp.argsort` lowers to XLA's generic sort and costs
+    milliseconds at these shapes (measured 4 ms for (4096, 64), ~20x this).
+    Ties broken by id so the result is deterministic."""
+    import numpy as np
+
+    C = entry.shape[1]
+    Cp = 1 << max(1, (C - 1).bit_length())
+    if Cp != C:
+        entry = jnp.pad(entry, ((0, 0), (0, Cp - C)), constant_values=BIG)
+    key = entry
+    val = jnp.broadcast_to(
+        jnp.arange(Cp, dtype=jnp.int32)[None, :], entry.shape
+    )
+    idx = np.arange(Cp)
+    k = 2
+    while k <= Cp:
+        j = k // 2
+        while j >= 1:
+            partner = idx ^ j
+            pk = key[:, partner]
+            pv = val[:, partner]
+            # ascending within blocks of k, direction flips per block
+            take_min = ((idx & k) == 0) == ((idx & j) == 0)
+            take_min = jnp.asarray(take_min[None, :])
+            less = (pk < key) | ((pk == key) & (pv < val))
+            want_partner = jnp.where(take_min, less, ~less)
+            key = jnp.where(want_partner, pk, key)
+            val = jnp.where(want_partner, pv, val)
+            j //= 2
+        k *= 2
+    return key[:, :C], val[:, :C]
+
+
 def _cull(o, d, t_max, cmin, cmax):
     """Per-ray-tile *ordered* cluster lists. o, d: (B, 3); t_max: (B,);
     cmin/cmax: (C, 3). Returns:
@@ -83,6 +130,11 @@ def _cull(o, d, t_max, cmin, cmax):
               distance (front-to-back), surviving clusters first
       counts  (tiles,)  i32 — number of survivors
       entries (tiles, C) f32 — tile-min entry distance per sorted slot
+      far     (B,)      f32 — farthest AABB *exit* among the ray's own
+              surviving clusters: once the front-to-back walk passes this
+              distance no future cluster can overlap the ray, so the ray is
+              resolved even without a hit. This is what lets tiles that
+              contain sky/miss rays early-exit at all.
     """
     inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, jnp.where(d >= 0, 1e-12, -1e-12))
     # per-axis accumulation keeps temps at (B, C) instead of (B, C, 3)
@@ -95,12 +147,13 @@ def _cull(o, d, t_max, cmin, cmax):
         tf = jnp.minimum(tf, jnp.maximum(t0, t1))
     hit = (tn <= tf) & (tf > 0.0) & (tn < t_max[:, None])  # (B, C)
     entry = jnp.where(hit, jnp.maximum(tn, 0.0), BIG)
+    far = jnp.max(jnp.where(hit, tf, -BIG), axis=1)
+    far = jnp.minimum(far, t_max)
     n_tiles = o.shape[0] // TILE
     tile_entry = jnp.min(entry.reshape(n_tiles, TILE, -1), axis=1)  # (tiles, C)
-    order = jnp.argsort(tile_entry, axis=1).astype(jnp.int32)
-    entries = jnp.take_along_axis(tile_entry, order, axis=1)
+    entries, order = _bitonic_argsort_rows(tile_entry)
     counts = jnp.sum(tile_entry < BIG, axis=1).astype(jnp.int32)
-    return order, counts, entries
+    return order, counts, entries, far
 
 
 # ---------------------------------------------------------------------------
@@ -152,13 +205,24 @@ def _closest_kernel(
                tile's row is `program_id % GROUP` (see `_search_specs`)
     count_ref: (GROUP, 1) i32 SMEM block — number of survivors
     entry_ref: (GROUP, C) f32 SMEM block — tile-min entry distances
-    ray_ref:   (TILE, 8) rays [ox oy oz dx dy dz tmax pad] (VMEM block)
+    ray_ref:   (TILE, 8) rays [ox oy oz dx dy dz tmax far] (VMEM block)
     tri_ref:   (C*16, 128) packed component-major triangles (VMEM, full)
     t_out/i_out: (TILE, 1) best hit distance / global tri index (-1 = miss)
+
+    Best-hit bookkeeping is *deferred per lane*: each (ray, lane) slot keeps
+    its own running best (t, tri id) with two selects per cluster, and the
+    cross-lane argmin reduce runs once at the end instead of once per
+    cluster — per-cluster cost is the intersection math alone.
+
+    Early exit: a ray is resolved when `min(best over lanes, far) <= next
+    cluster entry` — `far` (the exit distance of the ray's last surviving
+    cluster, from the cull) bounds where the ray can still find geometry,
+    so miss/sky rays resolve too instead of pinning the tile at t_max.
     """
     r = pl.program_id(0) % GROUP
     rc = tuple(ray_ref[:, i : i + 1] for i in range(6))
     t_max = ray_ref[:, 6:7]
+    far = ray_ref[:, 7:8]
     lanes = lax.broadcasted_iota(jnp.int32, (TILE, CLUSTER_SIZE), 1)
     n = count_ref[r, 0]
 
@@ -166,14 +230,8 @@ def _closest_kernel(
         c = list_ref[r, k]
         t, valid = _mt_terms(rc, tri_ref, c)
         valid = valid & (t > T_MIN_CONST) & (t < best_t)
-        t = jnp.where(valid, t, BIG)
-        tmin = jnp.min(t, axis=1, keepdims=True)               # (TILE, 1)
-        lane = jnp.min(
-            jnp.where(t <= tmin, lanes, CLUSTER_SIZE), axis=1, keepdims=True
-        )
-        better = tmin < best_t
-        new_t = jnp.where(better, tmin, best_t)
-        new_i = jnp.where(better, c * CLUSTER_SIZE + lane, best_i)
+        new_t = jnp.where(valid, t, best_t)
+        new_i = jnp.where(valid, lanes + c * CLUSTER_SIZE, best_i)
         return new_t, new_i
 
     def chunk_body(state):
@@ -193,19 +251,28 @@ def _closest_kernel(
 
     def chunk_cond(state):
         k, best_t, _ = state
-        # next chunk can only help if some ray's best hit is farther than
-        # the next cluster's conservative entry distance
-        worst = jnp.max(best_t)
+        # next chunk can only help a ray whose resolution limit — the min of
+        # its current best hit and its last surviving cluster's exit — lies
+        # beyond the next cluster's conservative entry distance
+        limit = jnp.minimum(jnp.min(best_t, axis=1, keepdims=True), far)
+        worst = jnp.max(limit)
         return (k < n) & (entry_ref[r, jnp.minimum(k, n - 1)] < worst)
 
     init = (
         jnp.int32(0),
-        t_max,
-        jnp.full((TILE, 1), -1, jnp.int32),
+        jnp.broadcast_to(t_max, (TILE, CLUSTER_SIZE)),
+        jnp.full((TILE, CLUSTER_SIZE), -1, jnp.int32),
     )
     _, best_t, best_i = lax.while_loop(chunk_cond, chunk_body, init)
-    t_out[:] = best_t
-    i_out[:] = jnp.where(best_t < t_max, best_i, -1)
+    row_t = jnp.min(best_t, axis=1, keepdims=True)             # (TILE, 1)
+    row_i = jnp.min(
+        jnp.where(best_t <= row_t, best_i, jnp.int32(2**31 - 1)),
+        axis=1,
+        keepdims=True,
+    )
+    hit = row_t < t_max
+    t_out[:] = row_t
+    i_out[:] = jnp.where(hit, row_i, -1)
 
 
 def _anyhit_kernel(list_ref, count_ref, entry_ref, ray_ref, tri_ref, occ_out):
@@ -215,17 +282,17 @@ def _anyhit_kernel(list_ref, count_ref, entry_ref, ray_ref, tri_ref, occ_out):
     r = pl.program_id(0) % GROUP
     rc = tuple(ray_ref[:, i : i + 1] for i in range(6))
     t_max = ray_ref[:, 6:7]
+    far = ray_ref[:, 7:8]
     n = count_ref[r, 0]
-    del entry_ref
 
-    # `blocked` is carried as i32 (Mosaic cannot select between i1 vectors)
+    # `blocked` is carried as a per-lane i32 accumulator (Mosaic cannot
+    # select between i1 vectors); the cross-lane any-reduce is deferred to
+    # the exit check and the epilogue, so per-cluster cost is one select.
     def test_cluster(k, blocked):
         c = list_ref[r, k]
         t, valid = _mt_terms(rc, tri_ref, c)
         hit = valid & (t > T_MIN_CONST) & (t < t_max)
-        return jnp.maximum(
-            blocked, jnp.any(hit, axis=1, keepdims=True).astype(jnp.int32)
-        )
+        return jnp.where(hit, jnp.int32(1), blocked)
 
     def chunk_body(state):
         k, blocked = state
@@ -240,13 +307,16 @@ def _anyhit_kernel(list_ref, count_ref, entry_ref, ray_ref, tri_ref, occ_out):
 
     def chunk_cond(state):
         k, blocked = state
-        # a lane is "resolved" if blocked or dead (t_max <= t_min)
-        resolved = (blocked > 0) | (t_max <= T_MIN_CONST)
+        # a ray is resolved if any lane blocked it, it is dead, or the walk
+        # has passed its last surviving cluster's exit distance
+        row = jnp.max(blocked, axis=1, keepdims=True)
+        next_entry = entry_ref[r, jnp.minimum(k, n - 1)]
+        resolved = (row > 0) | (t_max <= T_MIN_CONST) | (far < next_entry)
         return (k < n) & jnp.logical_not(jnp.all(resolved))
 
-    init = (jnp.int32(0), jnp.zeros((TILE, 1), jnp.int32))
+    init = (jnp.int32(0), jnp.zeros((TILE, CLUSTER_SIZE), jnp.int32))
     _, blocked = lax.while_loop(chunk_cond, chunk_body, init)
-    occ_out[:] = blocked
+    occ_out[:] = jnp.max(blocked, axis=1, keepdims=True)
 
 
 def pack_tris(scene):
@@ -315,12 +385,9 @@ def _mega_hits(scene, o, d, t_min, t_max):
     return best, idx
 
 
-def _pack_rays(o, d, t_max):
-    """(B, 8) ray records [ox oy oz dx dy dz tmax pad]."""
-    B = o.shape[0]
-    return jnp.concatenate(
-        [o, d, t_max[:, None], jnp.zeros((B, 1), jnp.float32)], axis=1
-    )
+def _pack_rays(o, d, t_max, far):
+    """(B, 8) ray records [ox oy oz dx dy dz tmax far]."""
+    return jnp.concatenate([o, d, t_max[:, None], far[:, None]], axis=1)
 
 
 def _search_specs(n_tiles, C):
@@ -456,10 +523,10 @@ def _prep(scene, rays, t_min, t_max, interpret, anyhit=False):
     else:
         t_max_k = jnp.minimum(t_max_p, mega_t)
 
-    lists, counts, entries = _cull(
+    lists, counts, entries, far = _cull(
         o, d, t_max_k, scene.cluster_min, scene.cluster_max
     )
-    rays8 = _pack_rays(o, d, t_max_k)
+    rays8 = _pack_rays(o, d, t_max_k, far)
     return (scene, pack_tris(scene), lists, counts, entries, rays8, B,
             t_max_arr, mega_t, mega_idx, interpret)
 
