@@ -63,6 +63,20 @@ class Hit(struct.PyTreeNode):
         )
 
 
+class Shading(struct.PyTreeNode):
+    """Per-hit material attributes, pre-joined per primitive (one packed row
+    gather in `geometry.intersect.hit_attributes_packed`) so the shading
+    stage reads no material tables. `albedo` is already modulated by the
+    material's texture at the hit uv."""
+
+    albedo: Array     # (..., 3) base color x texture
+    emission: Array   # (..., 3) emitted radiance
+    fuzz: Array       # (...,) metal roughness
+    ior: Array        # (...,) dielectric index
+    mtype: Array      # (...,) i32 material type (bsdf.LAMBERT/...)
+    two_sided: Array  # (...,) bool — emitter radiates from both faces
+
+
 class PathState(struct.PyTreeNode):
     """Wavefront path state carried through the bounce `lax.scan` — the array
     analog of the reference's recursion locals in `PathIntegrator.TraceRay`

@@ -76,7 +76,7 @@ def light_pdf_area(scene) -> Array:
     )
 
 
-def nee_area(scene, hit, wo, key, occluded_fn, mis: bool = True):
+def nee_area(scene, hit, wo, key, occluded_fn, mis: bool = True, sh=None):
     """Next-event estimation against area lights. Returns the direct-light
     radiance estimate (..., 3), zero where shadowed/invalid.
 
@@ -97,7 +97,7 @@ def nee_area(scene, hit, wo, key, occluded_fn, mis: bool = True):
     facing = jnp.where(ls.two_sided, cos_l != 0.0, cos_l > 0.0)
     cos_l_eff = jnp.abs(cos_l)
 
-    f, pdf_b = eval_bsdf(scene, hit, wo, wl)
+    f, pdf_b = eval_bsdf(scene, hit, wo, wl, sh=sh)
     candidate = (
         ls.valid
         & hit.valid
@@ -125,7 +125,7 @@ def nee_area(scene, hit, wo, key, occluded_fn, mis: bool = True):
     return jnp.where(vis[..., None], contrib, 0.0)
 
 
-def nee_point(scene, hit, wo, occluded_fn):
+def nee_point(scene, hit, wo, occluded_fn, sh=None):
     """Direct lighting from point lights (reference `NewPointLight`,
     `Core/Lights/Light.fs:9-29`: radiance intensity/d^2; its `Sample_Li` was
     stubbed to zeros — here point lights actually work). Sums over the
@@ -142,7 +142,11 @@ def nee_point(scene, hit, wo, occluded_fn):
     dist = jnp.sqrt(d2)
     wl = to_l / dist[..., None]
     cos_s = dot(hit.normal[None], wl)
-    f, _ = eval_bsdf(scene, hit, wo[None] * jnp.ones((P, 1, 1)), wl)
+    if sh is not None:
+        sh = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (P,) + x.shape), sh
+        )
+    f, _ = eval_bsdf(scene, hit, wo[None] * jnp.ones((P, 1, 1)), wl, sh=sh)
     candidate = (
         scene.plight_mask[:, None]
         & hit.valid[None]

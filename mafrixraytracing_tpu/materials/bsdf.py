@@ -52,6 +52,33 @@ def surface_albedo(scene, hit):
     return albedo * sample_atlas(scene.tex_atlas, tex, hit.uv)
 
 
+def make_shading(scene, hit):
+    """Gather-based `Shading` construction — the compatibility path for
+    callers without the packed row fetch (see
+    `geometry.intersect.hit_attributes_packed` for the fast one-gather path:
+    TPU gathers are serial per-row, so the 6 table gathers here cost ~10x
+    the packed row)."""
+    from mafrixraytracing_tpu.core.types import Shading
+
+    m = hit.material
+    T = scene.tri_v0.shape[0]
+    lid = scene.tri_light[jnp.clip(hit.prim_idx, 0, T - 1)]
+    lid = jnp.where((hit.prim_idx >= 0) & (hit.prim_idx < T), lid, -1)
+    two = jnp.where(
+        lid >= 0,
+        scene.light_two_sided[jnp.clip(lid, 0, scene.light_v0.shape[0] - 1)],
+        False,
+    )
+    return Shading(
+        albedo=surface_albedo(scene, hit),
+        emission=scene.mat_emission[m],
+        fuzz=scene.mat_fuzz[m],
+        ior=scene.mat_ior[m],
+        mtype=scene.mat_type[m],
+        two_sided=two,
+    )
+
+
 class BsdfSample(struct.PyTreeNode):
     wi: Array        # (..., 3) sampled direction (unit)
     weight: Array    # (..., 3) f * cos / pdf
@@ -60,19 +87,22 @@ class BsdfSample(struct.PyTreeNode):
     valid: Array     # (...,) bool — sample usable
 
 
-def sample_bsdf(scene, hit, wo: Array, key: Array, uniform_lambert: bool = False) -> BsdfSample:
+def sample_bsdf(scene, hit, wo: Array, key: Array, uniform_lambert: bool = False,
+                sh=None) -> BsdfSample:
     """Sample a scattering direction for every ray in the batch.
 
     `uniform_lambert=True` reproduces the reference's uniform-hemisphere
     lambert sampling (`Material.fs:33-36`: pdf folded weight
     `albedo/pi * cos * 2pi`); default is cosine-weighted (same estimator
-    expectation, lower variance).
+    expectation, lower variance). Pass a pre-joined `sh: Shading` to skip
+    the material-table gathers.
     """
-    m = hit.material
-    mtype = scene.mat_type[m]
-    albedo = surface_albedo(scene, hit)
-    fuzz = scene.mat_fuzz[m]
-    ior = scene.mat_ior[m]
+    if sh is None:
+        sh = make_shading(scene, hit)
+    mtype = sh.mtype
+    albedo = sh.albedo
+    fuzz = sh.fuzz
+    ior = sh.ior
     n = hit.normal
     d = -wo  # incident propagation direction
 
@@ -126,12 +156,13 @@ def sample_bsdf(scene, hit, wo: Array, key: Array, uniform_lambert: bool = False
     return BsdfSample(wi=wi, weight=weight, pdf=pdf, specular=specular, valid=valid)
 
 
-def eval_bsdf(scene, hit, wo: Array, wi: Array):
+def eval_bsdf(scene, hit, wo: Array, wi: Array, sh=None):
     """Evaluate (f, pdf) for a given direction — used by NEE/MIS. Delta lobes
     (metal/dielectric) return zero: they cannot be hit by light sampling."""
-    m = hit.material
-    mtype = scene.mat_type[m]
-    albedo = surface_albedo(scene, hit)
+    if sh is None:
+        sh = make_shading(scene, hit)
+    mtype = sh.mtype
+    albedo = sh.albedo
     n = hit.normal
     cos_wi = dot(wi, n)
     same_side = cos_wi > 0.0
@@ -143,17 +174,13 @@ def eval_bsdf(scene, hit, wo: Array, wi: Array):
     return f, pdf
 
 
-def emitted(scene, hit):
+def emitted(scene, hit, sh=None):
     """Emitted radiance at a hit (reference `IMaterial.Emit`,
     `Core/Interfaces/IMaterial.fs:18` — always black there; here emissive
     materials actually emit, making lights visible to camera/BSDF rays).
     One-sided by default: only the front face emits, matching the facing
     check in `NewAreaLight.L` (`Core/Lights/Light.fs:48-56`)."""
-    m = hit.material
-    Le = scene.mat_emission[m]
-    lid = scene.tri_light[jnp.clip(hit.prim_idx, 0, scene.tri_v0.shape[0] - 1)]
-    two_sided = jnp.where(
-        lid >= 0, scene.light_two_sided[jnp.clip(lid, 0, scene.light_v0.shape[0] - 1)], False
-    )
-    emits = hit.front_face | two_sided
-    return jnp.where((hit.valid & emits)[..., None], Le, 0.0)
+    if sh is None:
+        sh = make_shading(scene, hit)
+    emits = hit.front_face | sh.two_sided
+    return jnp.where((hit.valid & emits)[..., None], sh.emission, 0.0)

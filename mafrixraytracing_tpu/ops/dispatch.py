@@ -53,6 +53,21 @@ def intersect_scene(scene, rays: Rays, t_min, t_max, chunk=1024, backend="auto")
     return isect.hit_attributes(scene, rays, idx, t)
 
 
+def intersect_shade(scene, rays: Rays, t_min, t_max, chunk=1024, backend="auto"):
+    """Closest-hit query returning (Hit, Shading) via the packed one-gather
+    attribute fetch (`geometry.intersect.hit_attributes_packed`) — the fast
+    path used by the integrators."""
+    if _use_pallas(scene, backend):
+        from mafrixraytracing_tpu.ops import intersect_pallas
+
+        t, idx = intersect_pallas.find_closest(scene, rays, t_min, t_max)
+    else:
+        t, idx = isect.find_closest(scene, rays, t_min, t_max, chunk=chunk)
+    t = checkpoint_name(t, "isect_t")
+    idx = checkpoint_name(idx, "isect_idx")
+    return isect.hit_attributes_packed(scene, rays, idx, t)
+
+
 def occluded(scene, rays: Rays, t_min, t_max, chunk=1024, backend="auto"):
     if _use_pallas(scene, backend):
         from mafrixraytracing_tpu.ops import intersect_pallas

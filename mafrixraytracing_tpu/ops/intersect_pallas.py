@@ -145,7 +145,12 @@ def _cull(o, d, t_max, cmin, cmax):
         t1 = (cmax[None, :, a] - o[:, None, a]) * inv[:, None, a]
         tn = jnp.maximum(tn, jnp.minimum(t0, t1))
         tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-    hit = (tn <= tf) & (tf > 0.0) & (tn < t_max[:, None])  # (B, C)
+    # Empty (padded) clusters are marked min > max; their +-3e38 slabs
+    # overflow to +-inf under the multiply, so the interval test alone would
+    # PASS them for every ray (with entry distance 0, sorting them to the
+    # front of every walk). Mask them out explicitly.
+    live = (cmin[:, 0] <= cmax[:, 0])[None, :]
+    hit = live & (tn <= tf) & (tf > 0.0) & (tn < t_max[:, None])  # (B, C)
     entry = jnp.where(hit, jnp.maximum(tn, 0.0), BIG)
     far = jnp.max(jnp.where(hit, tf, -BIG), axis=1)
     far = jnp.minimum(far, t_max)
@@ -379,9 +384,14 @@ def _mega_hits(scene, o, d, t_min, t_max):
         & (t < t_max[:, None])
     )
     t = jnp.where(ok, t, BIG)
-    arg = jnp.argmin(t, axis=1)
-    best = jnp.take_along_axis(t, arg[:, None], axis=1)[:, 0]
-    idx = jnp.where(best < BIG, idc[arg], -1)
+    # min + index-select reduces (take_along_axis(argmin) is a serial
+    # per-row gather on TPU, ~20x slower)
+    best = jnp.min(t, axis=1)
+    gid = jnp.broadcast_to(idc[None, :], t.shape)
+    idx = jnp.min(
+        jnp.where(t <= best[:, None], gid, jnp.int32(2**31 - 1)), axis=1
+    )
+    idx = jnp.where(best < BIG, idx, -1)
     return best, idx
 
 

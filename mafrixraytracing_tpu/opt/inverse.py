@@ -40,9 +40,12 @@ def extract_params(scene, names) -> dict:
 
 def image_loss(img, target):
     """Relative-L2 loss (standard for HDR renders: divides out brightness so
-    bright pixels don't dominate)."""
+    bright pixels don't dominate). Normalized by the *target* (a constant):
+    normalizing by the noisy rendered image both amplifies Monte-Carlo noise
+    in dark pixels and correlates the weight with the estimator, which in
+    practice makes the fit diverge."""
     d = img - target
-    return jnp.mean(d * d / (lax.stop_gradient(img) ** 2 + 1e-2))
+    return jnp.mean(d * d / (target * target + 1e-2))
 
 
 def make_train_step(

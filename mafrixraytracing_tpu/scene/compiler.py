@@ -162,7 +162,11 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
             tri_chunks[key].append(val)
         for key, val in zip(("uv0", "uv1", "uv2"), uvs):
             tri_chunks[key].append(val)
-        tri_chunks["mat"].append(np.full(n, mat_id, np.int32))
+        tri_chunks["mat"].append(
+            np.asarray(mat_id, np.int32)
+            if np.ndim(mat_id)
+            else np.full(n, mat_id, np.int32)
+        )
         tri_chunks["light"].append(
             np.asarray(light_id, np.int32)
             if np.ndim(light_id)
@@ -171,7 +175,14 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
 
     for shape in scene_spec.shapes:
         p0, e1, e2, gn, sn, uvs, _ = _mesh_face_arrays(shape.mesh, shape.transform)
-        add_tris(p0, e1, e2, sn, uvs, shape.material, -1)
+        mat = shape.material
+        if shape.face_materials is not None:
+            mat = np.asarray(shape.face_materials, np.int32)
+            assert mat.shape[0] == p0.shape[0], (
+                f"face_materials has {mat.shape[0]} entries for "
+                f"{p0.shape[0]} faces"
+            )
+        add_tris(p0, e1, e2, sn, uvs, mat, -1)
 
     # --- area lights: light table + (optionally) emissive hittable geometry ---
     lt = {k: [] for k in ("v0", "e1", "e2", "normal", "radiance", "area", "two_sided")}

@@ -55,11 +55,15 @@ class Mesh:
 class ShapeSpec:
     """A mesh group bound to a material — the analog of the XML
     `<Shape type="shapelist" obj_ref=... material=...>` element
-    (reference `Scene/Scene.fs:137-177`)."""
+    (reference `Scene/Scene.fs:137-177`). `face_materials` optionally gives a
+    per-face material id (overriding `material`), the SoA analog of the
+    reference resolving the current `usemtl` per face during model load
+    (`Models/ObjModelLoader.fs:296-304`)."""
 
     mesh: Mesh
     material: int
     transform: np.ndarray | None = None   # optional 4x4 instancing transform
+    face_materials: np.ndarray | None = None  # (F,) i32 per-face material ids
 
 
 @dataclass

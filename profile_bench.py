@@ -67,7 +67,7 @@ tr = jax.jit(lambda r, k: P.trace_radiance(scene, r, k, config))
 timed("trace_radiance 1spp (5 bounces)", tr, rays, keys, n=5)
 
 # 6. how many clusters survive on primary rays?
-lists, counts, entries = cull(o, d, tmax)
+lists, counts, entries, far = cull(o, d, tmax)
 print("clusters total:", scene.cluster_min.shape[0],
       " mean survivors/tile:", float(counts.mean()),
       " max:", int(counts.max()))

@@ -145,3 +145,90 @@ def test_reference_spot():
     assert mesh.faces.shape[0] == 5856  # SURVEY §6 scene-scale anchor
     assert mesh.vertices.shape[0] == 3225
     assert mesh.uvs is not None
+
+
+def test_per_face_material_resolution(tmp_path):
+    """MTL materials + per-face usemtl reach the compiled scene's tri_mat
+    table (reference flow: `Models/Obj_Mtl.fs:195-217` registration +
+    `Models/ObjModelLoader.fs:296-304` per-face binding)."""
+    _write(
+        tmp_path,
+        "m.mtl",
+        """\
+        newmtl red
+        Kd 0.9 0.1 0.1
+        newmtl blue
+        Kd 0.1 0.1 0.9
+        """,
+    )
+    p = _write(
+        tmp_path,
+        "two.obj",
+        """\
+        mtllib m.mtl
+        v 0 0 0
+        v 1 0 0
+        v 0 1 0
+        v 1 1 0
+        usemtl red
+        f 1 2 3
+        usemtl blue
+        f 2 4 3
+        f 1 2 4
+        """,
+    )
+    from mafrixraytracing_tpu.scene import assets
+    from mafrixraytracing_tpu.scene import spec as S
+    from mafrixraytracing_tpu.scene.compiler import compile_scene
+
+    model = load_obj(p)
+    materials, textures = [], []
+    face_ids, name_to_id = assets.register_model_materials(
+        model, p, materials, textures
+    )
+    assert list(face_ids) == [name_to_id["red"], name_to_id["blue"], name_to_id["blue"]]
+
+    sc = S.SceneSpec(
+        materials=materials,
+        shapes=[S.ShapeSpec(model.mesh(), 0, face_materials=face_ids)],
+        area_lights=[
+            S.AreaLightSpec(S.make_rect_mesh((0, 2, 0), (1, 2, 0), (1, 2, 1), (0, 2, 1)))
+        ],
+    )
+    cs = compile_scene(sc)
+    scene = cs.scene
+    # every live non-emissive triangle carries its own face's material; the
+    # accel build permutes triangle order, so compare matched albedos by
+    # locating each source face via its v0
+    import jax.numpy as jnp
+
+    mask = np.asarray(scene.tri_mask)
+    emis = np.asarray(scene.mat_type)[np.asarray(scene.tri_mat)] == 3
+    mesh_rows = mask & ~emis
+    albs = np.asarray(scene.mat_albedo)[np.asarray(scene.tri_mat)[mesh_rows]]
+    reds = (albs[:, 0] > 0.5).sum()
+    blues = (albs[:, 2] > 0.5).sum()
+    assert (reds, blues) == (1, 2)
+
+
+@pytest.mark.skipif(not os.path.exists(CUBE), reason="reference assets absent")
+def test_cube_scene_wires_texture():
+    """cube_scene loads wall1.tif into the atlas and binds it to the cube's
+    MTL material (reference `Obj_Mtl.fs` map_Kd + `Core/Pipeline.fs:86-103`
+    texture sampling)."""
+    from mafrixraytracing_tpu.scene import assets
+    from mafrixraytracing_tpu.scene.compiler import compile_scene
+
+    sc = assets.cube_scene(64, 64)
+    assert len(sc.textures) == 1  # wall1.tif decoded
+    cube_mat = sc.materials[0]
+    assert cube_mat.texture_id == 0
+    cs = compile_scene(sc)
+    scene = cs.scene
+    # the atlas holds the real image (not the white fallback page)
+    atlas = np.asarray(scene.tex_atlas)
+    assert atlas.shape[0] == 1 and atlas.std() > 0.01
+    # all 12 cube faces resolve to the textured material
+    mask = np.asarray(scene.tri_mask)
+    tex = np.asarray(scene.mat_tex)[np.asarray(scene.tri_mat)]
+    assert (tex[mask] == 0).sum() == 12
