@@ -37,13 +37,17 @@ BASELINE_RAYS_PER_S = 50e6
 
 
 def build_scene(width, height):
+    """BENCH_SCENE=spot|cornell|cube|renault (BASELINE.md config matrix)."""
     name = os.environ.get("BENCH_SCENE", "spot")
-    if name == "spot":
-        from mafrixraytracing_tpu.scene import assets
+    from mafrixraytracing_tpu.scene import assets
 
-        if assets.have_reference_assets():
-            return compile_scene(assets.spot_scene(width, height))
-        name = "cornell"
+    if name in ("spot", "cube", "renault") and assets.have_reference_assets():
+        builder = {
+            "spot": assets.spot_scene,
+            "cube": assets.cube_scene,
+            "renault": assets.renault_scene,
+        }[name]
+        return compile_scene(builder(width, height))
     from mafrixraytracing_tpu.scene.builtin import cornell_box
 
     return compile_scene(cornell_box(width=width, height=height))

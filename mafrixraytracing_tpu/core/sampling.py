@@ -98,3 +98,52 @@ def stratified_jitter(key: Array, n_samples: int) -> Array:
         return (grid + u) / side
     strata = (jnp.arange(n_samples, dtype=jnp.float32) + u[:, 0]) / n_samples
     return jnp.stack([strata, u[:, 1]], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# SoA (flat-component) variants — the hot integrator path carries vectors as
+# V3 of (B,) columns (see core.v3 for why), so these mirror the warps above
+# without ever forming a (B, 3) array.
+# ---------------------------------------------------------------------------
+
+from mafrixraytracing_tpu.core.v3 import V3  # noqa: E402
+
+
+def _onb_soa(n: V3):
+    """Branch-free ONB around unit normal (Frisvad/Duff), SoA form of
+    `core.math.orthonormal_basis`."""
+    sign = jnp.where(n.z >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sign + n.z)
+    b = n.x * n.y * a
+    t = V3(1.0 + sign * n.x * n.x * a, sign * b, -sign * n.x)
+    bt = V3(b, sign + n.y * n.y * a, -n.y)
+    return t, bt
+
+
+def _local_to_world_soa(lx, ly, lz, n: V3) -> V3:
+    t, b = _onb_soa(n)
+    return t * lx + b * ly + n * lz
+
+
+def uniform_hemisphere_soa(u: Array, n: V3) -> V3:
+    z = u[..., 0]
+    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = TWO_PI * u[..., 1]
+    return _local_to_world_soa(r * jnp.cos(phi), r * jnp.sin(phi), z, n)
+
+
+def cosine_hemisphere_soa(u: Array, n: V3):
+    r = jnp.sqrt(jnp.clip(u[..., 0], 0.0, 1.0))
+    phi = TWO_PI * u[..., 1]
+    z = jnp.sqrt(jnp.maximum(1.0 - u[..., 0], 0.0))
+    pdf = jnp.maximum(z, 1e-8) / jnp.pi
+    return _local_to_world_soa(r * jnp.cos(phi), r * jnp.sin(phi), z, n), pdf
+
+
+def fuzz_sphere_soa(u: Array) -> V3:
+    """Uniform point inside the unit ball, SoA."""
+    z = 1.0 - 2.0 * u[..., 0]
+    rr = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    phi = TWO_PI * u[..., 1]
+    r = jnp.cbrt(jnp.clip(u[..., 2], 1e-12, 1.0))
+    return V3(r * rr * jnp.cos(phi), r * rr * jnp.sin(phi), r * z)

@@ -77,6 +77,38 @@ class Shading(struct.PyTreeNode):
     two_sided: Array  # (...,) bool — emitter radiates from both faces
 
 
+from typing import NamedTuple  # noqa: E402
+
+from mafrixraytracing_tpu.core.v3 import V3  # noqa: E402
+
+
+class HitS(NamedTuple):
+    """SoA closest-hit record: `Hit` with every vector as a V3 of flat (B,)
+    columns and uv split into scalars (see core.v3 for the layout
+    rationale). Used by the hot integrator path."""
+
+    valid: "jnp.ndarray"
+    t: "jnp.ndarray"
+    point: V3
+    normal: V3
+    front_face: "jnp.ndarray"
+    material: "jnp.ndarray"
+    prim_idx: "jnp.ndarray"
+    u: "jnp.ndarray"
+    v: "jnp.ndarray"
+
+
+class ShadingS(NamedTuple):
+    """SoA form of `Shading` (albedo/emission as V3 columns)."""
+
+    albedo: V3
+    emission: V3
+    fuzz: "jnp.ndarray"
+    ior: "jnp.ndarray"
+    mtype: "jnp.ndarray"
+    two_sided: "jnp.ndarray"
+
+
 class PathState(struct.PyTreeNode):
     """Wavefront path state carried through the bounce `lax.scan` — the array
     analog of the reference's recursion locals in `PathIntegrator.TraceRay`

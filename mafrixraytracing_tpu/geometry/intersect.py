@@ -25,6 +25,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 from jax import Array, lax
+from jax.ad_checkpoint import checkpoint_name
 
 from mafrixraytracing_tpu.core.math import cross, dot, normalize, safe_sqrt
 from mafrixraytracing_tpu.core.types import Hit, Rays
@@ -145,6 +146,33 @@ def _closest_sphere(scene, o, d, t_min, t_max):
     arg = jnp.min(
         jnp.where(t <= best[:, None], ids[None], jnp.int32(Sp)), axis=1
     )
+    return best, jnp.minimum(arg, Sp - 1)
+
+
+def _closest_sphere_soa(scene, o, d, t_min, t_max):
+    """SoA `_closest_sphere`: o, d are V3 columns, temps are (B, Sp)."""
+    cx = scene.sph_center[None, :, 0]
+    cy = scene.sph_center[None, :, 1]
+    cz = scene.sph_center[None, :, 2]
+    r = scene.sph_radius[None, :]
+    ox, oy, oz = o.x[:, None], o.y[:, None], o.z[:, None]
+    dx, dy, dz = d.x[:, None], d.y[:, None], d.z[:, None]
+    ocx, ocy, ocz = ox - cx, oy - cy, oz - cz
+    b = ocx * dx + ocy * dy + ocz * dz
+    c = ocx * ocx + ocy * ocy + ocz * ocz - r * r
+    disc = b * b - c
+    ok = disc > 0.0
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    t0 = -b - sq
+    t1 = -b + sq
+    t0_ok = ok & (t0 > t_min[:, None]) & (t0 < t_max[:, None])
+    t1_ok = ok & (t1 > t_min[:, None]) & (t1 < t_max[:, None])
+    t = jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, BIG))
+    t = jnp.where(scene.sph_mask[None], t, BIG)
+    best = jnp.min(t, axis=1)
+    Sp = t.shape[1]
+    ids = jnp.arange(Sp, dtype=jnp.int32)
+    arg = jnp.min(jnp.where(t <= best[:, None], ids[None], jnp.int32(Sp)), axis=1)
     return best, jnp.minimum(arg, Sp - 1)
 
 
@@ -392,13 +420,118 @@ def hit_attributes_packed(scene, rays: Rays, prim_idx: Array, t_hint: Array):
         uv=uv,
     )
     tex_id = row[:, 33].astype(jnp.int32)
+    # nearest sampling = reference Texture2D parity AND one gather instead
+    # of four; the sampled value is checkpoint-named so the backward pass
+    # reuses it instead of re-gathering under remat
+    tex_rgb = checkpoint_name(
+        sample_atlas(scene.tex_atlas, tex_id, uv, mode="nearest"), "tex_rgb"
+    )
     sh = Shading(
-        albedo=row[:, 24:27] * sample_atlas(scene.tex_atlas, tex_id, uv),
+        albedo=row[:, 24:27] * tex_rgb,
         emission=row[:, 27:30],
         fuzz=row[:, 30],
         ior=row[:, 31],
         mtype=row[:, 32].astype(jnp.int32),
         two_sided=row[:, 34] > 0.5,
+    )
+    return hit, sh
+
+
+def hit_attributes_soa(scene, o, d, prim_idx: Array, t_hint: Array):
+    """SoA form of `hit_attributes_packed`: o, d are `V3` ray columns;
+    returns (HitS, ShadingS) built from flat (B,) components only — no
+    (B, 3) arrays are ever materialized (their padded {1,0} layout costs
+    42x memory traffic on TPU; see core.v3)."""
+    from mafrixraytracing_tpu.core import v3
+    from mafrixraytracing_tpu.core.types import HitS, ShadingS
+    from mafrixraytracing_tpu.core.v3 import V3
+    from mafrixraytracing_tpu.materials.texture import sample_atlas
+
+    T = scene.tri_v0.shape[0]
+    P = T + scene.sph_center.shape[0]
+    valid = prim_idx >= 0
+    is_tri = valid & (prim_idx < T)
+    is_sph = valid & (prim_idx >= T)
+    row = packed_attr_table(scene)[jnp.clip(prim_idx, 0, P - 1)]  # (B, 36)
+    col = lambda k: row[:, k]
+    vec = lambda k: V3(row[:, k], row[:, k + 1], row[:, k + 2])
+
+    # --- triangle attributes (Moller-Trumbore on SoA columns) ---
+    v0, e1, e2 = vec(0), vec(3), vec(6)
+    pv = v3.cross(d, e2)
+    det = v3.dot(e1, pv)
+    ok = jnp.abs(det) > DET_EPS
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    tv = o - v0
+    u = v3.dot(tv, pv) * inv_det
+    qv = v3.cross(tv, e1)
+    v = v3.dot(d, qv) * inv_det
+    t_tri = v3.dot(e2, qv) * inv_det
+    gn = v3.normalize(v3.cross(e1, e2))
+    w = 1.0 - u - v
+    sn = v3.normalize(vec(9) * w + vec(12) * u + vec(15) * v)
+    sn = v3.where(v3.dot(sn, sn) > 0.5, sn, gn)
+    uu_tri = w * col(18) + u * col(20) + v * col(22)
+    vv_tri = w * col(19) + u * col(21) + v * col(23)
+
+    # --- sphere attributes (center in cols 0:3, radius col 3) ---
+    c = vec(0)
+    r = col(3)
+    oc = o - c
+    b = v3.dot(oc, d)
+    disc = b * b - (v3.dot(oc, oc) - r * r)
+    sq = safe_sqrt(disc)
+    t0, t1 = -b - sq, -b + sq
+    th = lax.stop_gradient(t_hint)
+    t_sph = jnp.where(jnp.abs(t0 - th) < jnp.abs(t1 - th), t0, t1)
+    inv_r = 1.0 / jnp.maximum(r, 1e-8)
+    n_sph = (o + d * t_sph - c) * inv_r
+    deg = (n_sph.x * n_sph.x + n_sph.z * n_sph.z) < 1e-12
+    phi = jnp.arctan2(n_sph.z, jnp.where(deg, 1.0, n_sph.x))
+    theta = jnp.arccos(jnp.clip(n_sph.y, -1.0 + 1e-6, 1.0 - 1e-6))
+    uu_sph = 0.5 + phi / (2.0 * jnp.pi)
+    vv_sph = theta / jnp.pi
+
+    # --- merge ---
+    t = jnp.where(is_tri, t_tri, jnp.where(is_sph, t_sph, 0.0))
+    point = o + d * t
+    geo_n = v3.where(is_tri, gn, n_sph)
+    shade_n = v3.where(is_tri, sn, n_sph)
+    front = v3.dot(geo_n, d) < 0.0
+    shade_n = shade_n * jnp.where(front, 1.0, -1.0)
+    uu = jnp.where(is_tri, uu_tri, uu_sph)
+    vv = jnp.where(is_tri, vv_tri, vv_sph)
+
+    hit = HitS(
+        valid=valid,
+        t=t,
+        point=point,
+        normal=shade_n,
+        front_face=front,
+        material=col(35).astype(jnp.int32),
+        prim_idx=prim_idx,
+        u=uu,
+        v=vv,
+    )
+    tex_id = col(33).astype(jnp.int32)
+    # saved per flat component: a checkpoint-named (B, 3) buffer would be
+    # stored with the padded {.,1,0} layout (42x HBM) across the remat scan
+    tex_rgb = V3.of(
+        sample_atlas(scene.tex_atlas, tex_id,
+                     jnp.stack([uu, vv], axis=-1), mode="nearest")
+    )
+    tex_rgb = V3(
+        checkpoint_name(tex_rgb.x, "tex_r"),
+        checkpoint_name(tex_rgb.y, "tex_g"),
+        checkpoint_name(tex_rgb.z, "tex_b"),
+    )
+    sh = ShadingS(
+        albedo=vec(24) * tex_rgb,
+        emission=vec(27),
+        fuzz=col(30),
+        ior=col(31),
+        mtype=col(32).astype(jnp.int32),
+        two_sided=col(34) > 0.5,
     )
     return hit, sh
 

@@ -113,7 +113,7 @@ def _intersect(scene, rays, config, alive=None):
 # O(traversal), while residual memory stays at ~9 bytes/ray/bounce instead
 # of full activations.
 SAVE_ISECT = jax.checkpoint_policies.save_only_these_names(
-    "isect_t", "isect_idx", "occluded", "ray_order"
+    "isect_t", "isect_idx", "occluded", "tex_r", "tex_g", "tex_b"
 )
 
 
@@ -201,38 +201,53 @@ def _permute_bwd(perm, cts):
 _permute_by_key.defvjp(_permute_fwd, _permute_bwd)
 
 
-def _sort_wavefront(sort_key: Array, carry, pid: Array):
-    """Permute the whole wavefront by `sort_key` (see `_permute_by_key`)."""
-    rays, throughput, radiance, alive, prev_pdf, prev_specular, keys = carry
+# --- flat wavefront carry ----------------------------------------------------
+# The bounce `lax.scan` carries the wavefront as FLAT (B,) columns, never
+# (B, 3) matrices: while-loop carried buffers get XLA's default {1,0}
+# layout, which tiles (B, 3) as T(8,128) with the minor dim padded 3 -> 128
+# — a 42x memory-traffic tax on every fusion touching carry state (measured:
+# ~3 ms for a single (B,3) dot-product fusion at B=512k). Flat (B,) columns
+# have no padding; the (B, 3) views used inside the bounce body are local
+# temps whose layouts XLA picks freely.
+
+
+def _flatten_carry(carry):
+    rays, thr, rad, alive, pdf, spec, keys = carry
     kd = jax.random.key_data(keys)  # (B, 2) uint32 under threefry
-    float_cols = (
+    return (
         rays.origin[:, 0], rays.origin[:, 1], rays.origin[:, 2],
         rays.direction[:, 0], rays.direction[:, 1], rays.direction[:, 2],
-        throughput[:, 0], throughput[:, 1], throughput[:, 2],
-        radiance[:, 0], radiance[:, 1], radiance[:, 2],
-        prev_pdf,
-    )
-    int_cols = (
+        thr[:, 0], thr[:, 1], thr[:, 2],
+        rad[:, 0], rad[:, 1], rad[:, 2],
+        pdf,
         alive.astype(jnp.int32),
-        prev_specular.astype(jnp.int32),
+        spec.astype(jnp.int32),
         kd[:, 0], kd[:, 1],
-        pid,
     )
-    f, i = _permute_by_key(sort_key, float_cols, int_cols)
-    new_rays = Rays(
-        origin=jnp.stack(f[0:3], axis=1), direction=jnp.stack(f[3:6], axis=1)
+
+
+def _unflatten_carry(c):
+    rays = Rays(origin=jnp.stack(c[0:3], axis=1),
+                direction=jnp.stack(c[3:6], axis=1))
+    keys = jax.random.wrap_key_data(jnp.stack(c[15:17], axis=1))
+    return (
+        rays,
+        jnp.stack(c[6:9], axis=1),
+        jnp.stack(c[9:12], axis=1),
+        c[13].astype(bool),
+        c[12],
+        c[14].astype(bool),
+        keys,
     )
-    new_keys = jax.random.wrap_key_data(jnp.stack(i[2:4], axis=1))
-    new_carry = (
-        new_rays,
-        jnp.stack(f[6:9], axis=1),
-        jnp.stack(f[9:12], axis=1),
-        i[0].astype(bool),
-        f[12],
-        i[1].astype(bool),
-        new_keys,
+
+
+def _sort_flat(sort_key: Array, cols, pid: Array):
+    """Permute flat wavefront columns + pid by `sort_key`
+    (see `_permute_by_key`)."""
+    f, i = _permute_by_key(
+        sort_key, cols[0:13], cols[13:17] + (pid,)
     )
-    return new_carry, i[4]
+    return f + i[0:4], i[4]
 
 
 def trace_radiance(scene, rays: Rays, keys: Array, config: PathTracerConfig) -> Array:
@@ -246,28 +261,49 @@ def trace_radiance(scene, rays: Rays, keys: Array, config: PathTracerConfig) -> 
 def _trace_physical(scene, rays, keys, config):
     """The bounce loop runs as a `lax.scan` so the jaxpr (and compile time,
     especially of the backward pass) is O(1) in max_depth — the wavefront
-    form of the reference's recursion."""
+    form of the reference's recursion. All math is SoA ((B,) component
+    columns, core.v3): materialized (B, 3) arrays pay a 42x layout-padding
+    tax on TPU."""
+    from mafrixraytracing_tpu.core import v3
+    from mafrixraytracing_tpu.core.v3 import V3
+    from mafrixraytracing_tpu.lights.lights import nee_area_soa, nee_point_soa
+    from mafrixraytracing_tpu.materials.bsdf import emitted_soa, sample_bsdf_soa
+    from mafrixraytracing_tpu.ops import dispatch
+
     B = rays.origin.shape[0]
-    occluded_fn = _occluder(scene, config)
+
+    def occluded_fn(so, sd, t_min, t_max):
+        return dispatch.occluded_soa(scene, so, sd, t_min, t_max,
+                                     chunk=config.chunk, backend=config.backend)
+
+    bg = V3(scene.background[0], scene.background[1], scene.background[2])
 
     def bounce_step(carry, bounce):
         rays, throughput, radiance, alive, prev_pdf, prev_specular, keys = carry
+        o, d = V3.of(rays.origin), V3.of(rays.direction)
+        thr, rad = V3.of(throughput), V3.of(radiance)
         bkey = rng.bounce_key(keys, bounce)
-        hit, sh = _intersect(scene, rays, config, alive=alive)
+
+        # dead lanes get t_max = 0: the Pallas cull then excludes every
+        # cluster for them, so retired paths cost (nearly) nothing
+        t_max = jnp.where(alive, 1e8, 0.0)
+        hit, sh = dispatch.intersect_shade_soa(
+            scene, o, d, config.t_min, t_max,
+            chunk=config.chunk, backend=config.backend,
+        )
+        zero = V3.fill((0.0, 0.0, 0.0), (B,))
 
         # --- miss: constant background, then retire the path ---
         miss = alive & ~hit.valid
-        radiance = radiance + jnp.where(
-            miss[:, None], throughput * scene.background, 0.0
-        )
+        rad = rad + v3.where(miss, thr * bg, zero)
 
         # --- emissive hit (BSDF-sampling side of MIS) ---
-        Le = emitted(scene, hit, sh=sh)
-        hit_light = alive & hit.valid & jnp.any(Le > 0.0, axis=-1)
+        Le = emitted_soa(sh, hit)
+        hit_light = alive & hit.valid & ((Le.x > 0.0) | (Le.y > 0.0) | (Le.z > 0.0))
         if config.nee and config.mis:
             # convert the light sampler's area pdf to solid angle at this hit
             pdf_a = L.light_pdf_area(scene)
-            cos_l = jnp.abs(dot(hit.normal, -rays.direction))
+            cos_l = jnp.abs(v3.dot(hit.normal, d))
             pdf_l_sa = pdf_a * hit.t**2 / jnp.maximum(cos_l, 1e-8)
             w_bsdf = prev_pdf**2 / jnp.maximum(prev_pdf**2 + pdf_l_sa**2, 1e-20)
             w = jnp.where(prev_specular, 1.0, w_bsdf)
@@ -276,46 +312,41 @@ def _trace_physical(scene, rays, keys, config):
             w = jnp.where(prev_specular, 1.0, 0.0)
         else:
             w = jnp.ones((B,), jnp.float32)
-        radiance = radiance + jnp.where(
-            hit_light[:, None], throughput * Le * w[:, None], 0.0
-        )
+        rad = rad + v3.where(hit_light, thr * Le * w, zero)
 
         alive = alive & hit.valid & (sh.mtype != EMISSIVE)
-        wo = -rays.direction
 
         # --- next-event estimation ---
         if config.nee:
-            direct = L.nee_area(
-                scene, hit, wo, bkey, occluded_fn, mis=config.mis, sh=sh
-            ) + L.nee_point(scene, hit, wo, occluded_fn, sh=sh)
-            radiance = radiance + jnp.where(
-                alive[:, None], throughput * direct, 0.0
-            )
+            direct = nee_area_soa(
+                scene, hit, bkey, occluded_fn, config.mis, sh
+            ) + nee_point_soa(scene, hit, occluded_fn, sh)
+            rad = rad + v3.where(alive, thr * direct, zero)
 
         # --- BSDF sample & bounce ---
-        bs = sample_bsdf(scene, hit, wo, bkey, sh=sh)
-        throughput = throughput * bs.weight
-        alive = alive & bs.valid & jnp.any(throughput > 0.0, axis=-1)
+        bs = sample_bsdf_soa(sh, hit, -d, bkey)
+        thr = thr * bs.weight
+        alive = alive & bs.valid & ((thr.x > 0.0) | (thr.y > 0.0) | (thr.z > 0.0))
 
-        offset_n = (
-            jnp.where(dot(hit.normal, bs.wi)[:, None] >= 0.0, 1.0, -1.0) * hit.normal
-        )
-        rays = Rays(origin=hit.point + offset_n * RAY_EPS, direction=bs.wi)
+        flip = jnp.where(v3.dot(hit.normal, bs.wi) >= 0.0, RAY_EPS, -RAY_EPS)
+        o = hit.point + hit.normal * flip
+        d = bs.wi
 
         # --- Russian roulette (differentiable via detached probability,
         # replaces the reference's fixed depth cut `Scene/Scene.fs:304`) ---
         if config.rr_enable:
-            p = jnp.clip(jnp.max(throughput, axis=-1), 0.05, 0.95)
+            p = jnp.clip(thr.max_component(), 0.05, 0.95)
             p = lax.stop_gradient(p)
             rr_on = bounce >= config.rr_start
             p = jnp.where(rr_on, p, 1.0)
             u = rng.uniforms(bkey, 99)
             survive = ~rr_on | (u < p)
-            throughput = throughput / p[:, None]
+            thr = thr * (1.0 / p)
             alive = alive & survive
 
-        throughput = jnp.where(alive[:, None], throughput, 0.0)
-        return (rays, throughput, radiance, alive, bs.pdf, bs.specular, keys), None
+        thr = v3.where(alive, thr, zero)
+        return (Rays(origin=o.arr(), direction=d.arr()), thr.arr(), rad.arr(),
+                alive, bs.pdf, bs.specular, keys), None
 
     init = (
         rays,
@@ -341,26 +372,27 @@ def _trace_physical(scene, rays, keys, config):
         pid = jnp.arange(B, dtype=jnp.int32)
         carry, _ = bounce_step(init, jnp.int32(0))
 
-        def sorted_step(carry_pid, bounce):
-            carry, pid = carry_pid
+        def sorted_step(cols_pid, bounce):
+            cols, pid = cols_pid
+            carry = _unflatten_carry(cols)
             skey = _coherence_key(scene, carry[0], carry[3])
-            carry, pid = _sort_wavefront(skey, carry, pid)
-            carry, _ = bounce_step(carry, bounce)
-            return (carry, pid), None
+            cols, pid = _sort_flat(skey, cols, pid)
+            carry, _ = bounce_step(_unflatten_carry(cols), bounce)
+            return (_flatten_carry(carry), pid), None
 
-        (carry, pid), _ = lax.scan(
-            sorted_step, (carry, pid), jnp.arange(1, config.max_depth)
+        (cols, pid), _ = lax.scan(
+            sorted_step, (_flatten_carry(carry), pid),
+            jnp.arange(1, config.max_depth),
         )
-        radiance = carry[2]
         # unsort by pixel id — also a sort, not a scatter (42 ms vs 1.5 ms)
-        f, _ = _permute_by_key(
-            pid, (radiance[:, 0], radiance[:, 1], radiance[:, 2]), ()
-        )
+        f, _ = _permute_by_key(pid, cols[9:12], ())
         return jnp.stack(f, axis=1)
-    (_, _, radiance, _, _, _, _), _ = lax.scan(
-        bounce_step, init, jnp.arange(config.max_depth)
+    cols, _ = lax.scan(
+        lambda c, b: (_flatten_carry(bounce_step(_unflatten_carry(c), b)[0]), None),
+        _flatten_carry(init),
+        jnp.arange(config.max_depth),
     )
-    return radiance
+    return jnp.stack(cols[9:12], axis=1)
 
 
 def _trace_mafrix(scene, rays, keys, config):
@@ -469,9 +501,14 @@ def make_pixel_uv(width: int, height: int):
 
 
 def _default_tile_shape():
+    """Near-square pixel block covering TILE pixels (computed from TILE, not
+    a fixed table, so any valid MFX_TILE override gets a sane block)."""
     from mafrixraytracing_tpu.ops.intersect_pallas import TILE
 
-    return {32: (8, 4), 64: (8, 8), 128: (16, 8)}.get(TILE, (8, 4))
+    h = 1
+    while h * 2 * h * 2 <= TILE:
+        h *= 2
+    return max(1, TILE // h), h
 
 
 def tiled_pixel_order(width: int, height: int, tile_w: int = 0, tile_h: int = 0):
@@ -549,6 +586,8 @@ def render_image(
     pxg, pyg = jnp.repeat(px, G), jnp.repeat(py, G)
 
     def one_group(acc, g):
+        # acc is a flat 3-tuple of (B,) columns: (B, 3) scan carries get the
+        # padded default {1,0} layout (42x traffic; see _flatten_carry)
         sidx = g * G + jnp.arange(G)
         skeys = jax.vmap(lambda s: rng.sample_key(base_keys, s))(sidx)
         skeys = jnp.swapaxes(skeys, 0, 1).reshape(B * G)  # pixel-major
@@ -558,14 +597,17 @@ def render_image(
         v = (pyg + jit_uv[:, 1]) / height
         rays = camera.get_rays(u, v, lens_uv=lens_uv)
         rad = trace_radiance(scene, rays, skeys, config)
-        return acc + rad.reshape(B, G, 3).sum(axis=1), None
+        rad = rad.reshape(B, G, 3).sum(axis=1)
+        return tuple(a + rad[:, i] for i, a in enumerate(acc)), None
 
     if config.remat:
         one_group = jax.checkpoint(one_group, policy=SAVE_ISECT, prevent_cse=False)
     acc, _ = lax.scan(
-        one_group, jnp.zeros((B, 3), jnp.float32), jnp.arange(spp // G)
+        one_group,
+        tuple(jnp.zeros((B,), jnp.float32) for _ in range(3)),
+        jnp.arange(spp // G),
     )
-    img = acc[inv] / spp  # un-swizzle back to row-major
+    img = jnp.stack(acc, axis=1)[inv] / spp  # un-swizzle back to row-major
     return img.reshape(height, width, 3)
 
 

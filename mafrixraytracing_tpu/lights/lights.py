@@ -163,3 +163,122 @@ def nee_point(scene, hit, wo, occluded_fn, sh=None):
     vis = candidate & ~blocked
     contrib = f * (cos_s / d2)[..., None] * scene.plight_intensity[:, None, :]
     return jnp.sum(jnp.where(vis[..., None], contrib, 0.0), axis=0)
+
+
+# ---------------------------------------------------------------------------
+# SoA variants — flat-component vectors (core.v3) for the hot path
+# ---------------------------------------------------------------------------
+
+from mafrixraytracing_tpu.core import v3  # noqa: E402
+from mafrixraytracing_tpu.core.v3 import V3  # noqa: E402
+from mafrixraytracing_tpu.materials.bsdf import eval_bsdf_soa  # noqa: E402
+
+
+def packed_light_table(scene):
+    """(L, 16) joined light-row matrix so the per-ray light fetch is ONE row
+    gather (TPU gathers are serial per-row; 5 narrow gathers cost ~5x):
+    0:3 v0 | 3:6 e1 | 6:9 e2 | 9:12 normal | 12:15 radiance |
+    15 flags (1 = two_sided, 2 = live)."""
+    flags = (
+        scene.light_two_sided.astype(jnp.float32)
+        + 2.0 * scene.light_mask.astype(jnp.float32)
+    )
+    return jnp.concatenate(
+        [
+            scene.light_v0, scene.light_e1, scene.light_e2,
+            scene.light_normal, scene.light_radiance, flags[:, None],
+        ],
+        axis=1,
+    )
+
+
+def nee_area_soa(scene, hit, key, occluded_fn, mis: bool, sh):
+    """SoA `nee_area`: same estimator on flat components; light row fetched
+    with one packed gather."""
+    from mafrixraytracing_tpu.core import rng
+    from mafrixraytracing_tpu.core.sampling import uniform_triangle
+
+    u_pick = rng.uniforms(key, 10)
+    u_bary = rng.uniforms(key, 11, (2,))
+    li = jnp.searchsorted(scene.light_cdf, u_pick, side="right")
+    li = jnp.clip(li, 0, scene.light_v0.shape[0] - 1).astype(jnp.int32)
+    row = packed_light_table(scene)[li]  # (B, 16)
+    vec = lambda k: V3(row[:, k], row[:, k + 1], row[:, k + 2])
+    b = uniform_triangle(u_bary)
+    p = vec(0) + vec(3) * b[..., 0] + vec(6) * b[..., 1]
+    ln = vec(9)
+    radiance = vec(12)
+    two_sided = jnp.mod(row[:, 15], 2.0) > 0.5
+    row_live = row[:, 15] >= 2.0
+    pdf_area = jnp.where(
+        scene.light_total_area > 0.0,
+        1.0 / jnp.maximum(scene.light_total_area, 1e-12), 0.0,
+    )
+    ls_valid = jnp.any(scene.light_mask) & row_live
+
+    to_l = p - hit.point
+    d2 = jnp.maximum(v3.dot(to_l, to_l), 1e-12)
+    inv_d = jax.lax.rsqrt(d2)
+    dist = d2 * inv_d
+    wl = to_l * inv_d
+    cos_s = v3.dot(hit.normal, wl)
+    cos_l = -v3.dot(ln, wl)
+    facing = jnp.where(two_sided, cos_l != 0.0, cos_l > 0.0)
+    cos_l_eff = jnp.abs(cos_l)
+
+    f, pdf_b = eval_bsdf_soa(sh, hit, wl)
+    candidate = (
+        ls_valid & hit.valid & (cos_s > 0.0) & facing & (pdf_area > 0.0)
+        & ((f.x > 0.0) | (f.y > 0.0) | (f.z > 0.0))
+    )
+    origin = hit.point + hit.normal * SHADOW_EPS
+    blocked = occluded_fn(
+        origin, wl, SHADOW_EPS, jnp.where(candidate, dist - SHADOW_EPS, 0.0)
+    )
+    vis = candidate & ~blocked
+    scale = cos_s * (cos_l_eff / d2) / jnp.maximum(pdf_area, 1e-12)
+    if mis:
+        pdf_l_sa = pdf_area * d2 / jnp.maximum(cos_l_eff, 1e-8)
+        scale = scale * pdf_l_sa**2 / jnp.maximum(pdf_l_sa**2 + pdf_b**2, 1e-20)
+    scale = jnp.where(vis, scale, 0.0)
+    return f * radiance * scale
+
+
+def nee_point_soa(scene, hit, occluded_fn, sh) -> V3:
+    """SoA `nee_point`: static loop over the (small) point-light table with
+    one batched occlusion query."""
+    P = scene.plight_pos.shape[0]
+    zero = V3.fill((0.0, 0.0, 0.0), hit.t.shape)
+    if P == 0:
+        return zero
+    B = hit.t.shape[0]
+    total = zero
+    origin = hit.point + hit.normal * SHADOW_EPS
+    # per-light flat geometry; occlusion flattened into one query
+    geoms = []
+    for i in range(P):
+        lp = V3(scene.plight_pos[i, 0], scene.plight_pos[i, 1], scene.plight_pos[i, 2])
+        to_l = V3(lp.x - hit.point.x, lp.y - hit.point.y, lp.z - hit.point.z)
+        d2 = jnp.maximum(v3.dot(to_l, to_l), 1e-12)
+        inv_d = jax.lax.rsqrt(d2)
+        wl = to_l * inv_d
+        dist = d2 * inv_d
+        cos_s = v3.dot(hit.normal, wl)
+        f, _ = eval_bsdf_soa(sh, hit, wl)
+        candidate = (
+            scene.plight_mask[i] & hit.valid & (cos_s > 0.0)
+            & ((f.x > 0.0) | (f.y > 0.0) | (f.z > 0.0))
+        )
+        geoms.append((wl, dist, d2, cos_s, f, candidate))
+    so = V3(*(jnp.tile(c, P) for c in origin))
+    sd = V3(*(jnp.concatenate([g[0][k] for g in geoms]) for k in range(3)))
+    t_far = jnp.concatenate(
+        [jnp.where(g[5], g[1] - SHADOW_EPS, 0.0) for g in geoms]
+    )
+    blocked = occluded_fn(so, sd, SHADOW_EPS, t_far).reshape(P, B)
+    for i, (wl, dist, d2, cos_s, f, candidate) in enumerate(geoms):
+        vis = candidate & ~blocked[i]
+        inten = scene.plight_intensity[i]
+        s = jnp.where(vis, cos_s / d2, 0.0)
+        total = total + f * V3(inten[0] * s, inten[1] * s, inten[2] * s)
+    return total

@@ -184,3 +184,92 @@ def emitted(scene, hit, sh=None):
         sh = make_shading(scene, hit)
     emits = hit.front_face | sh.two_sided
     return jnp.where((hit.valid & emits)[..., None], sh.emission, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# SoA variants — flat-component vectors (core.v3) for the hot path
+# ---------------------------------------------------------------------------
+
+from typing import NamedTuple  # noqa: E402
+
+from mafrixraytracing_tpu.core import v3  # noqa: E402
+from mafrixraytracing_tpu.core.sampling import (  # noqa: E402
+    cosine_hemisphere_soa,
+    fuzz_sphere_soa,
+    uniform_hemisphere_soa,
+)
+from mafrixraytracing_tpu.core.math import fresnel_dielectric  # noqa: E402
+from mafrixraytracing_tpu.core.v3 import V3  # noqa: E402
+
+
+class BsdfSampleS(NamedTuple):
+    wi: V3          # sampled direction (unit), SoA
+    weight: V3      # f * cos / pdf, SoA
+    pdf: "jnp.ndarray"
+    specular: "jnp.ndarray"
+    valid: "jnp.ndarray"
+
+
+def sample_bsdf_soa(sh, hit, wo: V3, key, uniform_lambert: bool = False) -> BsdfSampleS:
+    """SoA `sample_bsdf`: identical math on flat components (no (B,3)
+    arrays; see core.v3 for why)."""
+    from mafrixraytracing_tpu.core import rng
+
+    n = hit.normal
+    d = -wo
+    u_l = rng.uniforms(key, 0, (2,))
+    u_f = rng.uniforms(key, 1, (3,))
+    u_c = rng.uniforms(key, 2)
+
+    # --- lambert ---
+    if uniform_lambert:
+        wi_lam = uniform_hemisphere_soa(u_l, n)
+        cos_lam = jnp.maximum(v3.dot(wi_lam, n), 0.0)
+        pdf_lam = jnp.full_like(cos_lam, 1.0 / (2.0 * jnp.pi))
+        w_lam = sh.albedo * (2.0 * cos_lam)
+    else:
+        wi_lam, pdf_lam = cosine_hemisphere_soa(u_l, n)
+        cos_lam = jnp.maximum(v3.dot(wi_lam, n), 0.0)
+        w_lam = sh.albedo
+
+    # --- metal ---
+    refl = v3.reflect(d, n)
+    wi_met = v3.normalize(refl + fuzz_sphere_soa(u_f) * sh.fuzz)
+    met_ok = v3.dot(wi_met, n) > 0.0
+
+    # --- dielectric ---
+    cos_i = jnp.clip(-v3.dot(d, n), 0.0, 1.0)
+    eta_i = jnp.where(hit.front_face, 1.0, sh.ior)
+    eta_t = jnp.where(hit.front_face, sh.ior, 1.0)
+    fr = fresnel_dielectric(cos_i, eta_i, eta_t)
+    ref_ok, refr = v3.refract(d, n, eta_i / eta_t)
+    refr = v3.normalize(refr)
+    choose_reflect = (u_c < fr) | ~ref_ok
+    wi_die = v3.where(choose_reflect, v3.reflect(d, n), refr)
+
+    is_lam = sh.mtype == LAMBERT
+    is_met = sh.mtype == METAL
+    is_die = sh.mtype == DIELECTRIC
+
+    wi = v3.where(is_lam, wi_lam, v3.where(is_met, wi_met, wi_die))
+    weight = v3.where(is_lam, w_lam, sh.albedo)
+    pdf = jnp.where(is_lam, pdf_lam, 1.0)
+    specular = is_met | is_die
+    valid = jnp.where(is_lam, cos_lam > 0.0, jnp.where(is_met, met_ok, is_die))
+    return BsdfSampleS(wi=wi, weight=weight, pdf=pdf, specular=specular, valid=valid)
+
+
+def eval_bsdf_soa(sh, hit, wi: V3):
+    """SoA `eval_bsdf` (f, pdf) for NEE/MIS; delta lobes return zero."""
+    cos_wi = v3.dot(wi, hit.normal)
+    lam = (sh.mtype == LAMBERT) & (cos_wi > 0.0)
+    f = v3.where(lam, sh.albedo * INV_PI, V3.fill((0.0, 0.0, 0.0), cos_wi.shape))
+    pdf = jnp.where(lam, jnp.maximum(cos_wi, 0.0) * INV_PI, 0.0)
+    return f, pdf
+
+
+def emitted_soa(sh, hit) -> V3:
+    """SoA `emitted`."""
+    emits = hit.valid & (hit.front_face | sh.two_sided)
+    zero = V3.fill((0.0, 0.0, 0.0), hit.t.shape)
+    return v3.where(emits, sh.emission, zero)

@@ -82,14 +82,23 @@ def perlin_texture(seed: int = 0, scale: float = 4.0, res: int = ATLAS_RES) -> n
     return np.stack([img] * 3, axis=-1)
 
 
-def sample_atlas(atlas: Array, tex_id: Array, uv: Array) -> Array:
-    """Bilinear-sample the atlas. atlas: (K, R, R, 3); tex_id: (...,) i32
-    (values < 0 return white); uv: (..., 2) with OBJ convention (v up).
-    Returns (..., 3)."""
+def sample_atlas(atlas: Array, tex_id: Array, uv: Array,
+                 mode: str = "bilinear") -> Array:
+    """Sample the atlas. atlas: (K, R, R, 3); tex_id: (...,) i32 (values < 0
+    return white); uv: (..., 2) with OBJ convention (v up). Returns (..., 3).
+
+    mode="nearest" matches the reference's `Texture2D` sampler
+    (`Core/Texture.fs:11-28`) and costs ONE gather; "bilinear" costs four
+    (TPU gathers are serial per-row, so the hot render path uses nearest)."""
     K, R = atlas.shape[0], atlas.shape[1]
     tid = jnp.clip(tex_id, 0, K - 1)
     u = jnp.mod(uv[..., 0], 1.0) * (R - 1)
     v = jnp.mod(1.0 - uv[..., 1], 1.0) * (R - 1)  # flip: OBJ v-up -> row-down
+    if mode == "nearest":
+        x = jnp.round(u).astype(jnp.int32)
+        y = jnp.round(v).astype(jnp.int32)
+        rgb = atlas[tid, y, x]
+        return jnp.where((tex_id >= 0)[..., None], rgb, 1.0)
     x0 = jnp.floor(u).astype(jnp.int32)
     y0 = jnp.floor(v).astype(jnp.int32)
     x1 = jnp.minimum(x0 + 1, R - 1)

@@ -76,3 +76,34 @@ def occluded(scene, rays: Rays, t_min, t_max, chunk=1024, backend="auto"):
     else:
         occ = isect.occluded(scene, rays, t_min, t_max, chunk=chunk)
     return checkpoint_name(occ, "occluded")
+
+
+def intersect_shade_soa(scene, o, d, t_min, t_max, chunk=1024, backend="auto"):
+    """SoA closest-hit query -> (HitS, ShadingS); o, d are V3 of (B,)
+    columns (the hot integrator path — see core.v3)."""
+    if _use_pallas(scene, backend):
+        from mafrixraytracing_tpu.ops import intersect_pallas
+
+        t, idx = intersect_pallas.find_closest_soa(scene, o, d, t_min, t_max)
+    else:
+        t, idx = isect.find_closest(
+            scene, Rays(origin=o.arr(), direction=d.arr()), t_min, t_max,
+            chunk=chunk,
+        )
+    t = checkpoint_name(t, "isect_t")
+    idx = checkpoint_name(idx, "isect_idx")
+    return isect.hit_attributes_soa(scene, o, d, idx, t)
+
+
+def occluded_soa(scene, o, d, t_min, t_max, chunk=1024, backend="auto"):
+    """SoA any-hit query; o, d are V3 columns."""
+    if _use_pallas(scene, backend):
+        from mafrixraytracing_tpu.ops import intersect_pallas
+
+        occ = intersect_pallas.occluded_soa(scene, o, d, t_min, t_max)
+    else:
+        occ = isect.occluded(
+            scene, Rays(origin=o.arr(), direction=d.arr()), t_min, t_max,
+            chunk=chunk,
+        )
+    return checkpoint_name(occ, "occluded")

@@ -51,21 +51,23 @@ from mafrixraytracing_tpu.accel.clusters import CLUSTER_SIZE
 
 import os as _os
 
-TILE = int(_os.environ.get("MFX_TILE", "32"))
-                    # rays per grid step (sublane axis): small tiles have far
-                    # tighter frusta than 128-ray tiles, so fewer clusters
-                    # survive the cull and the early-exit bound converges
-                    # sooner; (32, 128) ops still fill every VPU lane
+# Tuning knobs. Defaults were swept on a real v5e (round 3): TILE=128
+# amortizes per-grid-step overhead best once the cull is tight, and
+# EXIT_CHECK=8 keeps the (vector -> scalar serializing) early-exit reduce
+# off the critical path. The MFX_* env overrides exist for sweeps only —
+# values are validated here so a bad sweep value fails fast instead of
+# deep inside Mosaic.
+TILE = int(_os.environ.get("MFX_TILE", "128"))
+                    # rays per grid step (sublane axis)
 GROUP = 8           # tiles per SMEM list block (sublane alignment)
 ROWS = 16           # rows per cluster in the packed triangle array
 BIG = 1e30
 DET_EPS = 1e-10
 MAX_VMEM_TRIS = 200_000  # (T/128, 16, 128) f32 must fit comfortably in VMEM
-EXIT_CHECK = int(_os.environ.get("MFX_EXIT_CHECK", "2"))
-                    # clusters between early-termination checks: most of a
-                    # ray's surviving clusters lie *behind* its first hit
-                    # (the cull cannot know hit distances), so checking
-                    # often exits the walk close to the true visit bound
+EXIT_CHECK = int(_os.environ.get("MFX_EXIT_CHECK", "8"))
+                    # clusters between early-termination checks
+assert TILE % 8 == 0 and 8 <= TILE <= 128, f"MFX_TILE={TILE}: need a multiple of 8 in [8, 128]"
+assert EXIT_CHECK >= 1, f"MFX_EXIT_CHECK={EXIT_CHECK}: need >= 1"
 
 # t_min is baked into the kernel as a compile-time constant (fixed config
 # value; the reference's epsilon protocol `Integrators.fs:44,108`).
@@ -124,8 +126,9 @@ def _bitonic_argsort_rows(entry):
 
 
 def _cull(o, d, t_max, cmin, cmax):
-    """Per-ray-tile *ordered* cluster lists. o, d: (B, 3); t_max: (B,);
-    cmin/cmax: (C, 3). Returns:
+    """Per-ray-tile *ordered* cluster lists. o, d: V3 of (B,) columns
+    (core.v3 — (B, 3) arrays pay a 42x layout-padding tax when
+    materialized); t_max: (B,); cmin/cmax: (C, 3). Returns:
       lists   (tiles, C) i32 — cluster ids sorted by conservative entry
               distance (front-to-back), surviving clusters first
       counts  (tiles,)  i32 — number of survivors
@@ -136,13 +139,15 @@ def _cull(o, d, t_max, cmin, cmax):
               resolved even without a hit. This is what lets tiles that
               contain sky/miss rays early-exit at all.
     """
-    inv = 1.0 / jnp.where(jnp.abs(d) > 1e-12, d, jnp.where(d >= 0, 1e-12, -1e-12))
+    B = o.x.shape[0]
     # per-axis accumulation keeps temps at (B, C) instead of (B, C, 3)
-    tn = jnp.full((o.shape[0], cmin.shape[0]), -BIG, jnp.float32)
-    tf = jnp.full((o.shape[0], cmin.shape[0]), BIG, jnp.float32)
-    for a in range(3):
-        t0 = (cmin[None, :, a] - o[:, None, a]) * inv[:, None, a]
-        t1 = (cmax[None, :, a] - o[:, None, a]) * inv[:, None, a]
+    tn = jnp.full((B, cmin.shape[0]), -BIG, jnp.float32)
+    tf = jnp.full((B, cmin.shape[0]), BIG, jnp.float32)
+    for oa, da, a in ((o.x, d.x, 0), (o.y, d.y, 1), (o.z, d.z, 2)):
+        inv = 1.0 / jnp.where(jnp.abs(da) > 1e-12, da,
+                              jnp.where(da >= 0, 1e-12, -1e-12))
+        t0 = (cmin[None, :, a] - oa[:, None]) * inv[:, None]
+        t1 = (cmax[None, :, a] - oa[:, None]) * inv[:, None]
         tn = jnp.maximum(tn, jnp.minimum(t0, t1))
         tf = jnp.minimum(tf, jnp.maximum(t0, t1))
     # Empty (padded) clusters are marked min > max; their +-3e38 slabs
@@ -154,7 +159,7 @@ def _cull(o, d, t_max, cmin, cmax):
     entry = jnp.where(hit, jnp.maximum(tn, 0.0), BIG)
     far = jnp.max(jnp.where(hit, tf, -BIG), axis=1)
     far = jnp.minimum(far, t_max)
-    n_tiles = o.shape[0] // TILE
+    n_tiles = B // TILE
     tile_entry = jnp.min(entry.reshape(n_tiles, TILE, -1), axis=1)  # (tiles, C)
     entries, order = _bitonic_argsort_rows(tile_entry)
     counts = jnp.sum(tile_entry < BIG, axis=1).astype(jnp.int32)
@@ -361,22 +366,46 @@ def pack_tris(scene):
 
 
 def _mega_hits(scene, o, d, t_min, t_max):
-    """Dense jnp Moller-Trumbore over the (≤ MAX_MEGA) mega triangles.
-    Returns (t, idx): nearest mega hit within (t_min, t_max) per ray, with
-    idx the *global* triangle index (-1 on miss / t = BIG)."""
-    from mafrixraytracing_tpu.geometry.intersect import tri_hit_terms
-
+    """Dense Moller-Trumbore over the (≤ MAX_MEGA) mega triangles; o, d are
+    V3 of (B,) columns, temps are (B, M) component planes. Returns (t, idx):
+    nearest mega hit within (t_min, t_max) per ray, with idx the *global*
+    triangle index (-1 on miss / t = BIG)."""
     T = scene.tri_v0.shape[0]
     ids = scene.mega_ids
     live = ids >= 0
     idc = jnp.clip(ids, 0, T - 1)
+    # (M,) per-component triangle columns broadcast against (B, 1) rays
     v0 = scene.tri_v0[idc]
     e1 = scene.tri_e1[idc]
     e2 = scene.tri_e2[idc]
-    t, u, v, det = tri_hit_terms(o[:, None, :], d[:, None, :], v0[None], e1[None], e2[None])
+
+    def bcol(a):  # (B,) -> (B, 1)
+        return a[:, None]
+
+    ox, oy, oz = bcol(o.x), bcol(o.y), bcol(o.z)
+    dx, dy, dz = bcol(d.x), bcol(d.y), bcol(d.z)
+    e1x, e1y, e1z = e1[None, :, 0], e1[None, :, 1], e1[None, :, 2]
+    e2x, e2y, e2z = e2[None, :, 0], e2[None, :, 1], e2[None, :, 2]
+    # pvec = d x e2
+    px = dy * e2z - dz * e2y
+    py = dz * e2x - dx * e2z
+    pz = dx * e2y - dy * e2x
+    det = e1x * px + e1y * py + e1z * pz
+    ok = jnp.abs(det) > DET_EPS
+    inv_det = jnp.where(ok, 1.0 / jnp.where(ok, det, 1.0), 0.0)
+    tx = ox - v0[None, :, 0]
+    ty = oy - v0[None, :, 1]
+    tz = oz - v0[None, :, 2]
+    u = (tx * px + ty * py + tz * pz) * inv_det
+    # qvec = tvec x e1
+    qx = ty * e1z - tz * e1y
+    qy = tz * e1x - tx * e1z
+    qz = tx * e1y - ty * e1x
+    v = (dx * qx + dy * qy + dz * qz) * inv_det
+    t = (e2x * qx + e2y * qy + e2z * qz) * inv_det
     ok = (
         live[None]
-        & (jnp.abs(det) > DET_EPS)
+        & ok
         & (u >= 0.0)
         & (v >= 0.0)
         & (u + v <= 1.0)
@@ -396,8 +425,8 @@ def _mega_hits(scene, o, d, t_min, t_max):
 
 
 def _pack_rays(o, d, t_max, far):
-    """(B, 8) ray records [ox oy oz dx dy dz tmax far]."""
-    return jnp.concatenate([o, d, t_max[:, None], far[:, None]], axis=1)
+    """(B, 8) ray records [ox oy oz dx dy dz tmax far] from V3 columns."""
+    return jnp.stack([o.x, o.y, o.z, d.x, d.y, d.z, t_max, far], axis=1)
 
 
 def _search_specs(n_tiles, C):
@@ -502,26 +531,29 @@ def _search_any_jvp(interpret, primals, tangents):
     return occ, _np.zeros(occ.shape, jax.dtypes.float0)
 
 
-def _prep(scene, rays, t_min, t_max, interpret, anyhit=False):
+def _prep(scene, o, d, t_min, t_max, interpret, anyhit=False):
     """Shared preamble: detach, pad to a TILE multiple, dense mega-triangle
     test (capping t_max so the cull prunes everything behind the first mega
-    hit), cull, pack. Returns the mega results for the caller to merge."""
+    hit), cull, pack. o, d: V3 of (B,) columns. Returns the mega results
+    for the caller to merge."""
+    from mafrixraytracing_tpu.core.v3 import V3
+
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    o = lax.stop_gradient(rays.origin)
-    d = lax.stop_gradient(rays.direction)
+    o = jax.tree_util.tree_map(lax.stop_gradient, o)
+    d = jax.tree_util.tree_map(lax.stop_gradient, d)
     scene = jax.tree_util.tree_map(lax.stop_gradient, scene)
-    B = o.shape[0]
+    B = o.x.shape[0]
     align = TILE * GROUP  # SMEM list blocks cover GROUP tiles at a time
     Bp = ((B + align - 1) // align) * align
     t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (B,))
     if Bp != B:
         pad = Bp - B
-        o = jnp.concatenate([o, jnp.zeros((pad, 3), o.dtype)], axis=0)
-        d = jnp.concatenate(
-            [d, jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (pad, 1))], axis=0
-        )
-        t_max_p = jnp.concatenate([t_max_arr, jnp.zeros((pad,), jnp.float32)])
+        zpad = jnp.zeros((pad,), jnp.float32)
+        o = V3(*(jnp.concatenate([c, zpad]) for c in o))
+        d = V3(jnp.concatenate([d.x, zpad]), jnp.concatenate([d.y, zpad]),
+               jnp.concatenate([d.z, jnp.ones((pad,), jnp.float32)]))
+        t_max_p = jnp.concatenate([t_max_arr, zpad])
     else:
         t_max_p = t_max_arr
 
@@ -541,14 +573,14 @@ def _prep(scene, rays, t_min, t_max, interpret, anyhit=False):
             t_max_arr, mega_t, mega_idx, interpret)
 
 
-def find_closest(scene, rays, t_min, t_max, interpret=None):
-    """Pallas-accelerated closest-hit search (clustered triangles via the
-    kernel; mega triangles and spheres merged densely in jnp). Same contract
-    as `geometry.intersect.find_closest`. Non-differentiable by design."""
-    from mafrixraytracing_tpu.geometry.intersect import _closest_sphere
+def find_closest_soa(scene, o, d, t_min, t_max, interpret=None):
+    """SoA Pallas-accelerated closest-hit search (clustered triangles via
+    the kernel; mega triangles and spheres merged densely). o, d: V3 of
+    (B,) columns. Non-differentiable by design."""
+    from mafrixraytracing_tpu.geometry.intersect import _closest_sphere_soa
 
     (scene, tri_pack, lists, counts, entries, rays8, B, t_max_arr,
-     mega_t, mega_idx, interpret) = _prep(scene, rays, t_min, t_max, interpret)
+     mega_t, mega_idx, interpret) = _prep(scene, o, d, t_min, t_max, interpret)
     tt, ti = _search(tri_pack, lists, counts, entries, rays8, interpret)
     tt, ti = tt[:B], ti[:B]
     mega_t, mega_idx = mega_t[:B], mega_idx[:B]
@@ -560,11 +592,11 @@ def find_closest(scene, rays, t_min, t_max, interpret=None):
     tt = jnp.where(use_mega, mega_t, tt)
     ti = jnp.where(use_mega, mega_idx, ti)
 
-    # merge spheres (jnp; sphere tables are small)
-    o = rays8[:B, 0:3]
-    d = rays8[:B, 3:6]
+    # merge spheres (sphere tables are small)
+    ob = jax.tree_util.tree_map(lambda c: c[:B], o)
+    db = jax.tree_util.tree_map(lambda c: c[:B], d)
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (B,))
-    st, si = _closest_sphere(scene, o, d, t_min_b, t_max_arr)
+    st, si = _closest_sphere_soa(scene, ob, db, t_min_b, t_max_arr)
     T = scene.tri_v0.shape[0]
     use_sphere = st < tt
     t = jnp.where(use_sphere, st, tt)
@@ -573,21 +605,38 @@ def find_closest(scene, rays, t_min, t_max, interpret=None):
     return t, idx
 
 
-def occluded(scene, rays, t_min, t_max, interpret=None):
-    """Any-hit query (shadow rays): dedicated early-exit kernel for
-    clustered triangles; mega triangles + spheres in jnp. `t_max` may be
-    per-ray. Rays already blocked by a mega hit skip the kernel entirely
-    (their capped t_max empties the cluster list)."""
-    from mafrixraytracing_tpu.geometry.intersect import _closest_sphere
+def find_closest(scene, rays, t_min, t_max, interpret=None):
+    """(B, 3) Rays wrapper over `find_closest_soa` — same contract as
+    `geometry.intersect.find_closest`."""
+    from mafrixraytracing_tpu.core.v3 import V3
+
+    return find_closest_soa(scene, V3.of(rays.origin), V3.of(rays.direction),
+                            t_min, t_max, interpret)
+
+
+def occluded_soa(scene, o, d, t_min, t_max, interpret=None):
+    """SoA any-hit query (shadow rays): dedicated early-exit kernel for
+    clustered triangles; mega triangles + spheres merged densely. `t_max`
+    may be per-ray. Rays already blocked by a mega hit skip the kernel
+    entirely (their capped t_max empties the cluster list)."""
+    from mafrixraytracing_tpu.geometry.intersect import _closest_sphere_soa
 
     (scene, tri_pack, lists, counts, entries, rays8, B, t_max_arr,
      mega_t, mega_idx, interpret) = _prep(
-        scene, rays, t_min, t_max, interpret, anyhit=True
+        scene, o, d, t_min, t_max, interpret, anyhit=True
     )
     occ = _search_any(tri_pack, lists, counts, entries, rays8, interpret)
     occ = occ[:B] | (mega_idx[:B] >= 0)
-    o = rays8[:B, 0:3]
-    d = rays8[:B, 3:6]
+    ob = jax.tree_util.tree_map(lambda c: c[:B], o)
+    db = jax.tree_util.tree_map(lambda c: c[:B], d)
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (B,))
-    st, _ = _closest_sphere(scene, o, d, t_min_b, t_max_arr)
+    st, _ = _closest_sphere_soa(scene, ob, db, t_min_b, t_max_arr)
     return occ | (st < BIG)
+
+
+def occluded(scene, rays, t_min, t_max, interpret=None):
+    """(B, 3) Rays wrapper over `occluded_soa`."""
+    from mafrixraytracing_tpu.core.v3 import V3
+
+    return occluded_soa(scene, V3.of(rays.origin), V3.of(rays.direction),
+                        t_min, t_max, interpret)
