@@ -17,8 +17,6 @@ The device-side consumers are:
 - `geometry.intersect_clustered` — jnp path that uses cluster AABB distances
   to bound the search (used for correctness checks).
 
-A second level ("supercluster" AABBs over runs of `SUPER_FACTOR` clusters)
-caps the cluster scan for large scenes (Renault12TL, 37k tris).
 """
 from __future__ import annotations
 
@@ -27,7 +25,6 @@ import numpy as np
 # 128 = TPU lane width: the Pallas kernel tests one cluster (sublanes)
 # against one ray tile (lanes) as a single (128, 128) vector op.
 CLUSTER_SIZE = 128
-SUPER_FACTOR = 16  # clusters per supercluster
 
 # "Mega" triangles (ground planes, room walls): any triangle whose AABB
 # diagonal exceeds MEGA_FRAC of the scene diagonal would blow up its
@@ -76,7 +73,6 @@ def build_clusters(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, mask: np.ndar
     padded triangle SoA. Returns a dict:
       perm        (T,)   permutation to apply to every per-tri array
       cluster_min (C,3), cluster_max (C,3)
-      super_min   (S,3), super_max   (S,3)
     Padded (masked-out) triangles sort to the end and produce empty AABBs
     (min > max), which fail every slab test.
     """
@@ -142,17 +138,6 @@ def build_clusters(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, mask: np.ndar
     cluster_min = tri_min.reshape(C, CLUSTER_SIZE, 3).min(axis=1)
     cluster_max = tri_max.reshape(C, CLUSTER_SIZE, 3).max(axis=1)
 
-    S = (C + SUPER_FACTOR - 1) // SUPER_FACTOR
-    spad = S * SUPER_FACTOR - C
-    cmin_p = np.concatenate(
-        [cluster_min, np.full((spad, 3), _EMPTY_MIN, np.float32)]
-    )
-    cmax_p = np.concatenate(
-        [cluster_max, np.full((spad, 3), _EMPTY_MAX, np.float32)]
-    )
-    super_min = cmin_p.reshape(S, SUPER_FACTOR, 3).min(axis=1)
-    super_max = cmax_p.reshape(S, SUPER_FACTOR, 3).max(axis=1)
-
     mega_ids = np.full((MAX_MEGA,), -1, np.int32)
     if n_mega:
         mega_ids[:n_mega] = np.arange(n_valid - n_mega, n_valid, dtype=np.int32)
@@ -161,8 +146,6 @@ def build_clusters(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, mask: np.ndar
         "perm": perm,
         "cluster_min": cluster_min.astype(np.float32),
         "cluster_max": cluster_max.astype(np.float32),
-        "super_min": super_min.astype(np.float32),
-        "super_max": super_max.astype(np.float32),
         "mega_ids": mega_ids,
     }
 
@@ -193,17 +176,4 @@ def refresh_clusters(scene):
     k = v0.shape[0] // C
     cmin = tmin.reshape(C, k, 3).min(axis=1)
     cmax = tmax.reshape(C, k, 3).max(axis=1)
-
-    S = scene.super_min.shape[0]
-    pad = S * SUPER_FACTOR - C
-    cmin_p = jnp.concatenate(
-        [cmin, jnp.full((pad, 3), _EMPTY_MIN, jnp.float32)]
-    )
-    cmax_p = jnp.concatenate(
-        [cmax, jnp.full((pad, 3), _EMPTY_MAX, jnp.float32)]
-    )
-    smin = cmin_p.reshape(S, SUPER_FACTOR, 3).min(axis=1)
-    smax = cmax_p.reshape(S, SUPER_FACTOR, 3).max(axis=1)
-    return scene.replace(
-        cluster_min=cmin, cluster_max=cmax, super_min=smin, super_max=smax
-    )
+    return scene.replace(cluster_min=cmin, cluster_max=cmax)

@@ -129,12 +129,16 @@ def _closest_tri(scene, o, d, t_min, t_max, chunk=1024):
     return best_t, best_i
 
 
-def _closest_sphere(scene, o, d, t_min, t_max):
-    """All spheres at once (sphere counts are small)."""
+def _closest_sphere(scene, o, d, t_min, t_max, times=None):
+    """All spheres at once (sphere counts are small). `times` (B,) shifts
+    centers by t * velocity (MovingSphere)."""
+    center = scene.sph_center[None]
+    if times is not None:
+        center = center + scene.sph_velocity[None] * times[:, None, None]
     t = sphere_hit_t(
         o[:, None, :],
         d[:, None, :],
-        scene.sph_center[None],
+        center,
         scene.sph_radius[None],
         t_min[:, None],
         t_max[:, None],
@@ -149,11 +153,18 @@ def _closest_sphere(scene, o, d, t_min, t_max):
     return best, jnp.minimum(arg, Sp - 1)
 
 
-def _closest_sphere_soa(scene, o, d, t_min, t_max):
-    """SoA `_closest_sphere`: o, d are V3 columns, temps are (B, Sp)."""
+def _closest_sphere_soa(scene, o, d, t_min, t_max, times=None):
+    """SoA `_closest_sphere`: o, d are V3 columns, temps are (B, Sp).
+    `times` (B,) shifts each sphere center by t * velocity (the reference's
+    `MovingSphere`, `RenderTest/Sample/RayTracing.fs:210-253`)."""
     cx = scene.sph_center[None, :, 0]
     cy = scene.sph_center[None, :, 1]
     cz = scene.sph_center[None, :, 2]
+    if times is not None:
+        tb = times[:, None]
+        cx = cx + scene.sph_velocity[None, :, 0] * tb
+        cy = cy + scene.sph_velocity[None, :, 1] * tb
+        cz = cz + scene.sph_velocity[None, :, 2] * tb
     r = scene.sph_radius[None, :]
     ox, oy, oz = o.x[:, None], o.y[:, None], o.z[:, None]
     dx, dy, dz = d.x[:, None], d.y[:, None], d.z[:, None]
@@ -176,18 +187,21 @@ def _closest_sphere_soa(scene, o, d, t_min, t_max):
     return best, jnp.minimum(arg, Sp - 1)
 
 
-def find_closest(scene, rays: Rays, t_min, t_max, chunk=1024):
+def find_closest(scene, rays: Rays, t_min, t_max, chunk=1024, times=None):
     """Non-differentiable closest-hit search. Returns (t, prim_idx) where
-    prim_idx encodes triangles as [0, T) and spheres as T + s; -1 on miss."""
+    prim_idx encodes triangles as [0, T) and spheres as T + s; -1 on miss.
+    `times` (B,) enables sphere motion blur."""
     o = lax.stop_gradient(rays.origin)
     d = lax.stop_gradient(rays.direction)
+    if times is not None:
+        times = lax.stop_gradient(times)
     scene_sg = jax.tree_util.tree_map(lax.stop_gradient, scene)
     B = o.shape[0]
     t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (B,))
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (B,))
 
     tt, ti = _closest_tri(scene_sg, o, d, t_min, t_max, chunk)
-    st, si = _closest_sphere(scene_sg, o, d, t_min, t_max)
+    st, si = _closest_sphere(scene_sg, o, d, t_min, t_max, times=times)
     T = scene.tri_v0.shape[0]
     use_sphere = st < tt
     t = jnp.where(use_sphere, st, tt)
@@ -437,7 +451,8 @@ def hit_attributes_packed(scene, rays: Rays, prim_idx: Array, t_hint: Array):
     return hit, sh
 
 
-def hit_attributes_soa(scene, o, d, prim_idx: Array, t_hint: Array):
+def hit_attributes_soa(scene, o, d, prim_idx: Array, t_hint: Array,
+                       times=None):
     """SoA form of `hit_attributes_packed`: o, d are `V3` ray columns;
     returns (HitS, ShadingS) built from flat (B,) components only — no
     (B, 3) arrays are ever materialized (their padded {1,0} layout costs
@@ -544,9 +559,9 @@ def intersect_scene(scene, rays: Rays, t_min=1e-4, t_max=1e8, chunk=1024) -> Hit
     return hit_attributes(scene, rays, idx, t)
 
 
-def occluded(scene, rays: Rays, t_min, t_max, chunk=1024) -> Array:
+def occluded(scene, rays: Rays, t_min, t_max, chunk=1024, times=None) -> Array:
     """Boolean any-hit query for shadow rays (reference shadow test
     `Core/Integrator/Integrators.fs:44`: `bvh.Hit(p, dir, 1e-6, dist-1e-6)`).
     Visibility is detached (not differentiated) by construction."""
-    t, idx = find_closest(scene, rays, t_min, t_max, chunk)
+    t, idx = find_closest(scene, rays, t_min, t_max, chunk, times=times)
     return idx >= 0

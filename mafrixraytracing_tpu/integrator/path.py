@@ -77,13 +77,19 @@ class PathTracerConfig:
                                 # backward-pass HBM is O(spp*depth) hit records
                                 # (not activations) and the traversal kernels
                                 # never re-run in the backward pass
-    sort_secondary: bool = True  # after the primary bounce, reorder the
-                                # wavefront by (origin-morton, direction
-                                # octant): bounce rays are incoherent in
-                                # pixel order, and the Pallas intersector
-                                # culls per 128-ray tile, so coherent tiles
-                                # make secondary searches ~4x faster (the
-                                # TPU analog of GPU wavefront ray sorting)
+    motion_blur: bool = False   # sample a shutter time per camera ray and
+                                # intersect moving spheres at it (the
+                                # reference's MovingSphere sample,
+                                # `RenderTest/Sample/RayTracing.fs:210-253`)
+    sort_secondary: bool = False  # reorder the wavefront by (origin-morton,
+                                # direction octant) before each secondary
+                                # bounce — the TPU analog of GPU wavefront
+                                # ray sorting. Off by default: with the
+                                # tight cluster cull the multi-operand sorts
+                                # cost more than the coherence saves on both
+                                # spot (576 vs 703 ms fwd/16spp) and
+                                # Renault (779 vs 926 ms); enable for
+                                # scenes with much higher cluster counts
 
 
 def _occluder(scene, config):
@@ -212,7 +218,7 @@ _permute_by_key.defvjp(_permute_fwd, _permute_bwd)
 
 
 def _flatten_carry(carry):
-    rays, thr, rad, alive, pdf, spec, keys = carry
+    rays, thr, rad, alive, pdf, spec, keys, times = carry
     kd = jax.random.key_data(keys)  # (B, 2) uint32 under threefry
     return (
         rays.origin[:, 0], rays.origin[:, 1], rays.origin[:, 2],
@@ -220,6 +226,7 @@ def _flatten_carry(carry):
         thr[:, 0], thr[:, 1], thr[:, 2],
         rad[:, 0], rad[:, 1], rad[:, 2],
         pdf,
+        times,
         alive.astype(jnp.int32),
         spec.astype(jnp.int32),
         kd[:, 0], kd[:, 1],
@@ -229,15 +236,16 @@ def _flatten_carry(carry):
 def _unflatten_carry(c):
     rays = Rays(origin=jnp.stack(c[0:3], axis=1),
                 direction=jnp.stack(c[3:6], axis=1))
-    keys = jax.random.wrap_key_data(jnp.stack(c[15:17], axis=1))
+    keys = jax.random.wrap_key_data(jnp.stack(c[16:18], axis=1))
     return (
         rays,
         jnp.stack(c[6:9], axis=1),
         jnp.stack(c[9:12], axis=1),
-        c[13].astype(bool),
-        c[12],
         c[14].astype(bool),
+        c[12],
+        c[15].astype(bool),
         keys,
+        c[13],
     )
 
 
@@ -245,20 +253,22 @@ def _sort_flat(sort_key: Array, cols, pid: Array):
     """Permute flat wavefront columns + pid by `sort_key`
     (see `_permute_by_key`)."""
     f, i = _permute_by_key(
-        sort_key, cols[0:13], cols[13:17] + (pid,)
+        sort_key, cols[0:14], cols[14:18] + (pid,)
     )
     return f + i[0:4], i[4]
 
 
-def trace_radiance(scene, rays: Rays, keys: Array, config: PathTracerConfig) -> Array:
+def trace_radiance(scene, rays: Rays, keys: Array, config: PathTracerConfig,
+                   times: Array | None = None) -> Array:
     """Estimate radiance for a batch of camera rays. rays: (B, 3) fields,
-    keys: (B,) PRNG keys. Returns (B, 3)."""
+    keys: (B,) PRNG keys; `times` (B,) optional shutter times for motion
+    blur (secondary rays inherit their camera ray's time). Returns (B, 3)."""
     if config.estimator == "mafrix":
         return _trace_mafrix(scene, rays, keys, config)
-    return _trace_physical(scene, rays, keys, config)
+    return _trace_physical(scene, rays, keys, config, times)
 
 
-def _trace_physical(scene, rays, keys, config):
+def _trace_physical(scene, rays, keys, config, times=None):
     """The bounce loop runs as a `lax.scan` so the jaxpr (and compile time,
     especially of the backward pass) is O(1) in max_depth — the wavefront
     form of the reference's recursion. All math is SoA ((B,) component
@@ -272,17 +282,24 @@ def _trace_physical(scene, rays, keys, config):
 
     B = rays.origin.shape[0]
 
-    def occluded_fn(so, sd, t_min, t_max):
-        return dispatch.occluded_soa(scene, so, sd, t_min, t_max,
-                                     chunk=config.chunk, backend=config.backend)
+    if times is None:
+        times = jnp.zeros((B,), jnp.float32)
 
     bg = V3(scene.background[0], scene.background[1], scene.background[2])
 
     def bounce_step(carry, bounce):
-        rays, throughput, radiance, alive, prev_pdf, prev_specular, keys = carry
+        (rays, throughput, radiance, alive, prev_pdf, prev_specular, keys,
+         rtimes) = carry
         o, d = V3.of(rays.origin), V3.of(rays.direction)
         thr, rad = V3.of(throughput), V3.of(radiance)
         bkey = rng.bounce_key(keys, bounce)
+
+        def occluded_fn(so, sd, t_min, t_max):
+            return dispatch.occluded_soa(
+                scene, so, sd, t_min, t_max,
+                chunk=config.chunk, backend=config.backend,
+                times=rtimes if config.motion_blur else None,
+            )
 
         # dead lanes get t_max = 0: the Pallas cull then excludes every
         # cluster for them, so retired paths cost (nearly) nothing
@@ -290,6 +307,7 @@ def _trace_physical(scene, rays, keys, config):
         hit, sh = dispatch.intersect_shade_soa(
             scene, o, d, config.t_min, t_max,
             chunk=config.chunk, backend=config.backend,
+            times=rtimes if config.motion_blur else None,
         )
         zero = V3.fill((0.0, 0.0, 0.0), (B,))
 
@@ -346,7 +364,7 @@ def _trace_physical(scene, rays, keys, config):
 
         thr = v3.where(alive, thr, zero)
         return (Rays(origin=o.arr(), direction=d.arr()), thr.arr(), rad.arr(),
-                alive, bs.pdf, bs.specular, keys), None
+                alive, bs.pdf, bs.specular, keys, rtimes), None
 
     init = (
         rays,
@@ -356,6 +374,7 @@ def _trace_physical(scene, rays, keys, config):
         jnp.full((B,), 1.0, jnp.float32),
         jnp.ones((B,), bool),  # camera "bounce" counts as specular
         keys,
+        times,
     )
     if config.sort_secondary and config.max_depth > 1:
         # primary bounce in pixel-tile order, then a wavefront re-sort
@@ -596,7 +615,8 @@ def render_image(
         u = (pxg + jit_uv[:, 0]) / width
         v = (pyg + jit_uv[:, 1]) / height
         rays = camera.get_rays(u, v, lens_uv=lens_uv)
-        rad = trace_radiance(scene, rays, skeys, config)
+        times = rng.uniforms(skeys, 1002) if config.motion_blur else None
+        rad = trace_radiance(scene, rays, skeys, config, times=times)
         rad = rad.reshape(B, G, 3).sum(axis=1)
         return tuple(a + rad[:, i] for i, a in enumerate(acc)), None
 

@@ -78,29 +78,34 @@ def occluded(scene, rays: Rays, t_min, t_max, chunk=1024, backend="auto"):
     return checkpoint_name(occ, "occluded")
 
 
-def intersect_shade_soa(scene, o, d, t_min, t_max, chunk=1024, backend="auto"):
+def intersect_shade_soa(scene, o, d, t_min, t_max, chunk=1024, backend="auto",
+                        times=None):
     """SoA closest-hit query -> (HitS, ShadingS); o, d are V3 of (B,)
-    columns (the hot integrator path — see core.v3)."""
+    columns (the hot integrator path — see core.v3). `times` (B,) enables
+    sphere motion blur."""
     if _use_pallas(scene, backend):
         from mafrixraytracing_tpu.ops import intersect_pallas
 
-        t, idx = intersect_pallas.find_closest_soa(scene, o, d, t_min, t_max)
+        t, idx = intersect_pallas.find_closest_soa(scene, o, d, t_min, t_max,
+                                                   times=times)
     else:
         t, idx = isect.find_closest(
             scene, Rays(origin=o.arr(), direction=d.arr()), t_min, t_max,
-            chunk=chunk,
+            chunk=chunk, times=times,
         )
     t = checkpoint_name(t, "isect_t")
     idx = checkpoint_name(idx, "isect_idx")
-    return isect.hit_attributes_soa(scene, o, d, idx, t)
+    return isect.hit_attributes_soa(scene, o, d, idx, t, times=times)
 
 
-def occluded_soa(scene, o, d, t_min, t_max, chunk=1024, backend="auto"):
+def occluded_soa(scene, o, d, t_min, t_max, chunk=1024, backend="auto",
+                 times=None):
     """SoA any-hit query; o, d are V3 columns."""
     if _use_pallas(scene, backend):
         from mafrixraytracing_tpu.ops import intersect_pallas
 
-        occ = intersect_pallas.occluded_soa(scene, o, d, t_min, t_max)
+        occ = intersect_pallas.occluded_soa(scene, o, d, t_min, t_max,
+                                            times=times)
     else:
         occ = isect.occluded(
             scene, Rays(origin=o.arr(), direction=d.arr()), t_min, t_max,

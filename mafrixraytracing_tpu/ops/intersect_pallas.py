@@ -573,10 +573,12 @@ def _prep(scene, o, d, t_min, t_max, interpret, anyhit=False):
             t_max_arr, mega_t, mega_idx, interpret)
 
 
-def find_closest_soa(scene, o, d, t_min, t_max, interpret=None):
+def find_closest_soa(scene, o, d, t_min, t_max, interpret=None, times=None):
     """SoA Pallas-accelerated closest-hit search (clustered triangles via
     the kernel; mega triangles and spheres merged densely). o, d: V3 of
-    (B,) columns. Non-differentiable by design."""
+    (B,) columns. `times` (B,) enables sphere motion blur (the clustered
+    triangles are static; only the dense sphere merge is time-shifted).
+    Non-differentiable by design."""
     from mafrixraytracing_tpu.geometry.intersect import _closest_sphere_soa
 
     (scene, tri_pack, lists, counts, entries, rays8, B, t_max_arr,
@@ -596,7 +598,9 @@ def find_closest_soa(scene, o, d, t_min, t_max, interpret=None):
     ob = jax.tree_util.tree_map(lambda c: c[:B], o)
     db = jax.tree_util.tree_map(lambda c: c[:B], d)
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (B,))
-    st, si = _closest_sphere_soa(scene, ob, db, t_min_b, t_max_arr)
+    st, si = _closest_sphere_soa(scene, ob, db, t_min_b, t_max_arr,
+                                 times=None if times is None
+                                 else lax.stop_gradient(times))
     T = scene.tri_v0.shape[0]
     use_sphere = st < tt
     t = jnp.where(use_sphere, st, tt)
@@ -614,7 +618,7 @@ def find_closest(scene, rays, t_min, t_max, interpret=None):
                             t_min, t_max, interpret)
 
 
-def occluded_soa(scene, o, d, t_min, t_max, interpret=None):
+def occluded_soa(scene, o, d, t_min, t_max, interpret=None, times=None):
     """SoA any-hit query (shadow rays): dedicated early-exit kernel for
     clustered triangles; mega triangles + spheres merged densely. `t_max`
     may be per-ray. Rays already blocked by a mega hit skip the kernel
@@ -630,7 +634,9 @@ def occluded_soa(scene, o, d, t_min, t_max, interpret=None):
     ob = jax.tree_util.tree_map(lambda c: c[:B], o)
     db = jax.tree_util.tree_map(lambda c: c[:B], d)
     t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (B,))
-    st, _ = _closest_sphere_soa(scene, ob, db, t_min_b, t_max_arr)
+    st, _ = _closest_sphere_soa(scene, ob, db, t_min_b, t_max_arr,
+                                times=None if times is None
+                                else lax.stop_gradient(times))
     return occ | (st < BIG)
 
 

@@ -48,6 +48,7 @@ class ScenePytree(struct.PyTreeNode):
     # --- spheres (Sp,) ---
     sph_center: Array
     sph_radius: Array
+    sph_velocity: Array  # (Sp, 3) shutter-interval motion (MovingSphere)
     sph_mat: Array
     sph_mask: Array
     # --- material table (M,) ---
@@ -80,8 +81,6 @@ class ScenePytree(struct.PyTreeNode):
     # [c*CLUSTER_SIZE, (c+1)*CLUSTER_SIZE). Empty clusters have min > max. ---
     cluster_min: Array      # (C, 3)
     cluster_max: Array      # (C, 3)
-    super_min: Array        # (S, 3) second level over SUPER_FACTOR clusters
-    super_max: Array        # (S, 3)
     mega_ids: Array         # (MAX_MEGA,) i32 — huge tris excluded from the
                             # clusters, tested densely; -1 padded
 
@@ -236,11 +235,13 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
     Sp = bucket_size(ns, 8)
     sph_center = np.zeros((Sp, 3), np.float32)
     sph_radius = np.zeros((Sp,), np.float32)
+    sph_velocity = np.zeros((Sp, 3), np.float32)
     sph_mat = np.zeros((Sp,), np.int32)
     sph_mask = np.zeros((Sp,), bool)
     for i, sp in enumerate(scene_spec.spheres):
         sph_center[i] = sp.center
         sph_radius[i] = sp.radius
+        sph_velocity[i] = getattr(sp, "velocity", (0.0, 0.0, 0.0))
         sph_mat[i] = sp.material
         sph_mask[i] = True
 
@@ -315,6 +316,7 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
         tri_mask=jnp.asarray(tri_mask),
         sph_center=jnp.asarray(sph_center),
         sph_radius=jnp.asarray(sph_radius),
+        sph_velocity=jnp.asarray(sph_velocity),
         sph_mat=jnp.asarray(sph_mat),
         sph_mask=jnp.asarray(sph_mask),
         mat_type=jnp.asarray(mat_type),
@@ -340,8 +342,6 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
         background=jnp.zeros((3,), jnp.float32),
         cluster_min=jnp.asarray(accel["cluster_min"]),
         cluster_max=jnp.asarray(accel["cluster_max"]),
-        super_min=jnp.asarray(accel["super_min"]),
-        super_max=jnp.asarray(accel["super_max"]),
         mega_ids=jnp.asarray(accel["mega_ids"]),
     )
 

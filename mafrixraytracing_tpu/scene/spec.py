@@ -68,11 +68,15 @@ class ShapeSpec:
 
 @dataclass
 class SphereSpec:
-    """Analytic sphere (reference `Core/Shape/Sphere.fs:9-48`)."""
+    """Analytic sphere (reference `Core/Shape/Sphere.fs:9-48`). `velocity`
+    moves the center over the shutter interval, center(t) = center + t *
+    velocity for ray time t in [0, 1) — the reference's `MovingSphere`
+    (`RenderTest/Sample/RayTracing.fs:210-253`)."""
 
     center: tuple
     radius: float
     material: int
+    velocity: tuple = (0.0, 0.0, 0.0)
 
 
 @dataclass

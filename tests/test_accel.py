@@ -8,30 +8,12 @@ from mafrixraytracing_tpu.accel.clusters import (
     build_clusters,
     refresh_clusters,
 )
-from mafrixraytracing_tpu.accel.morton import morton_codes, morton_order
 from mafrixraytracing_tpu.core.types import Rays
 from mafrixraytracing_tpu.geometry import intersect as isect
 from mafrixraytracing_tpu.scene.builtin import cornell_box
 from mafrixraytracing_tpu.scene.compiler import compile_scene
 
 
-def test_morton_locality():
-    """Points near each other must get nearby Morton ranks (statistically)."""
-    rng = np.random.default_rng(0)
-    pts = rng.random((512, 3))
-    order = morton_order(pts)
-    sorted_pts = pts[order]
-    # consecutive sorted points should be much closer than random pairs
-    consec = np.linalg.norm(np.diff(sorted_pts, axis=0), axis=1).mean()
-    rand = np.linalg.norm(sorted_pts[:-1] - sorted_pts[::-1][:-1], axis=1).mean()
-    assert consec < 0.5 * rand
-
-
-def test_morton_codes_ordering_1d():
-    """Along a single axis Morton order == coordinate order."""
-    pts = np.stack([np.linspace(0, 1, 64), np.zeros(64), np.zeros(64)], axis=1)
-    codes = morton_codes(pts)
-    assert (np.diff(codes.astype(np.int64)) >= 0).all()
 
 
 def test_cluster_bounds_contain_triangles():
@@ -70,8 +52,8 @@ def test_empty_clusters_are_inverted():
         assert (cmin > cmax).all()
 
 
-def test_render_unchanged_by_morton_reorder():
-    """Morton reordering is an implementation detail: the closest hit for
+def test_render_unchanged_by_cluster_reorder():
+    """The accel build's triangle reordering is an implementation detail: the closest hit for
     any ray must be identical (same t, same surface point)."""
     cs = compile_scene(cornell_box())
     key = jax.random.key(0)
