@@ -4,9 +4,15 @@ devices (BASELINE.md: >= 85% efficiency 1 -> 4 hosts).
 On a one-chip environment run it on the virtual CPU mesh:
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python bench_scaling.py
-Prints one JSON line per device count plus a summary efficiency line.
-(CPU numbers validate the *sharding structure* — no cross-device
-serialization, collectives scale — not absolute TPU throughput.)
+
+IMPORTANT: virtual host-platform devices TIMESHARE the same physical CPU
+cores (and XLA already uses all cores intra-op at 1 device), so wall-clock
+"efficiency" on the virtual mesh reflects core sharing, NOT interconnect
+scaling — results carry "virtual_mesh": true and must not be read against
+the 85% target. What the virtual run does validate: the sharded program
+compiles, collectives execute, and per-device-count outputs are
+bit-identical (tests/test_sharding.py). On real multi-chip/multi-host
+hardware the same harness reports true ICI/DCN scaling.
 """
 from __future__ import annotations
 
@@ -39,6 +45,7 @@ def main():
     cs = compile_scene(cornell_box(width=W, height=H))
     scene, camera = cs.scene, cs.camera
     counts = [n for n in (1, 2, 4, 8) if n <= len(jax.devices())]
+    virtual = jax.default_backend() == "cpu"
     results = {}
     for n in counts:
         mesh = make_mesh(n)
@@ -55,6 +62,7 @@ def main():
         print(json.dumps({
             "metric": "scaling_render_rays_per_s", "devices": n,
             "value": rays / dt, "seconds_per_frame": dt,
+            "virtual_mesh": virtual,
         }), flush=True)
 
     base = results[counts[0]]
@@ -63,6 +71,10 @@ def main():
         print(json.dumps({
             "metric": "scaling_efficiency", "devices": n,
             "value": eff, "vs_target": eff / 0.85,
+            "virtual_mesh": virtual,
+            **({"note": "virtual devices timeshare one host's cores; "
+                        "not an interconnect-scaling measurement"}
+               if virtual else {}),
         }), flush=True)
 
     # one train step (grad + psum all-reduce) at max device count

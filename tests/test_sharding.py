@@ -59,3 +59,18 @@ def test_nondivisible_pixel_count():
     img = render_image_sharded(scene, camera, mesh, 15, 15, 1, jax.random.key(0), CFG)
     assert img.shape == (15, 15, 3)
     assert np.isfinite(np.asarray(img)).all()
+
+
+def test_multihost_launch_single_process():
+    """`parallel.launch.init` is a no-op single-process (returns False) and
+    the global mesh covers all local devices (SURVEY §2.15 multi-host
+    entry; real pod-slice behavior needs real hosts, exercised by the same
+    mesh code path)."""
+    from mafrixraytracing_tpu.parallel import launch
+
+    assert launch.init() is False  # no coordination configured
+    mesh = launch.global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    info = launch.process_info()
+    assert info["process_count"] == 1
+    assert info["global_devices"] == 8
