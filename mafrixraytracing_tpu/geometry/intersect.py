@@ -359,7 +359,8 @@ def packed_attr_table(scene) -> Array:
     return jnp.concatenate([tri_rows, sph_rows], axis=0)
 
 
-def hit_attributes_packed(scene, rays: Rays, prim_idx: Array, t_hint: Array):
+def hit_attributes_packed(scene, rays: Rays, prim_idx: Array, t_hint: Array,
+                          packed=None):
     """Differentiable attribute + shading recompute via ONE packed row
     gather. Same math/contract as `hit_attributes`, plus a `Shading` record
     (material columns joined per primitive, albedo already modulated by its
@@ -372,7 +373,9 @@ def hit_attributes_packed(scene, rays: Rays, prim_idx: Array, t_hint: Array):
     valid = prim_idx >= 0
     is_tri = valid & (prim_idx < T)
     is_sph = valid & (prim_idx >= T)
-    row = packed_attr_table(scene)[jnp.clip(prim_idx, 0, P - 1)]  # (B, 36)
+    if packed is None:
+        packed = packed_attr_table(scene)
+    row = packed[jnp.clip(prim_idx, 0, P - 1)]  # (B, 36)
 
     o, d = rays.origin, rays.direction
 
@@ -452,7 +455,7 @@ def hit_attributes_packed(scene, rays: Rays, prim_idx: Array, t_hint: Array):
 
 
 def hit_attributes_soa(scene, o, d, prim_idx: Array, t_hint: Array,
-                       times=None):
+                       times=None, packed=None):
     """SoA form of `hit_attributes_packed`: o, d are `V3` ray columns;
     returns (HitS, ShadingS) built from flat (B,) components only — no
     (B, 3) arrays are ever materialized (their padded {1,0} layout costs
@@ -467,7 +470,9 @@ def hit_attributes_soa(scene, o, d, prim_idx: Array, t_hint: Array,
     valid = prim_idx >= 0
     is_tri = valid & (prim_idx < T)
     is_sph = valid & (prim_idx >= T)
-    row = packed_attr_table(scene)[jnp.clip(prim_idx, 0, P - 1)]  # (B, 36)
+    if packed is None:
+        packed = packed_attr_table(scene)
+    row = packed[jnp.clip(prim_idx, 0, P - 1)]  # (B, 36)
     col = lambda k: row[:, k]
     vec = lambda k: V3(row[:, k], row[:, k + 1], row[:, k + 2])
 
@@ -528,20 +533,24 @@ def hit_attributes_soa(scene, o, d, prim_idx: Array, t_hint: Array,
         u=uu,
         v=vv,
     )
-    tex_id = col(33).astype(jnp.int32)
-    # saved per flat component: a checkpoint-named (B, 3) buffer would be
-    # stored with the padded {.,1,0} layout (42x HBM) across the remat scan
-    tex_rgb = V3.of(
-        sample_atlas(scene.tex_atlas, tex_id,
-                     jnp.stack([uu, vv], axis=-1), mode="nearest")
-    )
-    tex_rgb = V3(
-        checkpoint_name(tex_rgb.x, "tex_r"),
-        checkpoint_name(tex_rgb.y, "tex_g"),
-        checkpoint_name(tex_rgb.z, "tex_b"),
-    )
+    albedo = vec(24)
+    if scene.has_textures:
+        tex_id = col(33).astype(jnp.int32)
+        # saved per flat component: a checkpoint-named (B, 3) buffer would
+        # be stored with the padded {.,1,0} layout (42x HBM) across the
+        # remat scan
+        tex_rgb = V3.of(
+            sample_atlas(scene.tex_atlas, tex_id,
+                         jnp.stack([uu, vv], axis=-1), mode="nearest")
+        )
+        tex_rgb = V3(
+            checkpoint_name(tex_rgb.x, "tex_r"),
+            checkpoint_name(tex_rgb.y, "tex_g"),
+            checkpoint_name(tex_rgb.z, "tex_b"),
+        )
+        albedo = albedo * tex_rgb
     sh = ShadingS(
-        albedo=vec(24) * tex_rgb,
+        albedo=albedo,
         emission=vec(27),
         fuzz=col(30),
         ior=col(31),

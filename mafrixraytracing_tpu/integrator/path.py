@@ -286,6 +286,9 @@ def _trace_physical(scene, rays, keys, config, times=None):
         times = jnp.zeros((B,), jnp.float32)
 
     bg = V3(scene.background[0], scene.background[1], scene.background[2])
+    # loop-invariant joined tables, hoisted out of the bounce scan (the
+    # remat/while boundaries block XLA's own LICM)
+    packed_attrs = isect.packed_attr_table(scene)
 
     def bounce_step(carry, bounce):
         (rays, throughput, radiance, alive, prev_pdf, prev_specular, keys,
@@ -308,6 +311,7 @@ def _trace_physical(scene, rays, keys, config, times=None):
             scene, o, d, config.t_min, t_max,
             chunk=config.chunk, backend=config.backend,
             times=rtimes if config.motion_blur else None,
+            packed=packed_attrs,
         )
         zero = V3.fill((0.0, 0.0, 0.0), (B,))
 

@@ -200,9 +200,18 @@ def nee_area_soa(scene, hit, key, occluded_fn, mis: bool, sh):
 
     u_pick = rng.uniforms(key, 10)
     u_bary = rng.uniforms(key, 11, (2,))
+    L = scene.light_v0.shape[0]
     li = jnp.searchsorted(scene.light_cdf, u_pick, side="right")
-    li = jnp.clip(li, 0, scene.light_v0.shape[0] - 1).astype(jnp.int32)
-    row = packed_light_table(scene)[li]  # (B, 16)
+    li = jnp.clip(li, 0, L - 1).astype(jnp.int32)
+    table = packed_light_table(scene)
+    if L <= 32:
+        # one-hot matmul row fetch: a (B,)-indexed gather is a serial
+        # per-row loop (~3.5 ms at B=512k) while (B,L)@(L,16) on the MXU is
+        # ~0.3 ms for these tiny light tables
+        onehot = (li[:, None] == jnp.arange(L)[None, :]).astype(jnp.float32)
+        row = jnp.dot(onehot, table, preferred_element_type=jnp.float32)
+    else:
+        row = table[li]  # (B, 16)
     vec = lambda k: V3(row[:, k], row[:, k + 1], row[:, k + 2])
     b = uniform_triangle(u_bary)
     p = vec(0) + vec(3) * b[..., 0] + vec(6) * b[..., 1]

@@ -79,7 +79,7 @@ def occluded(scene, rays: Rays, t_min, t_max, chunk=1024, backend="auto"):
 
 
 def intersect_shade_soa(scene, o, d, t_min, t_max, chunk=1024, backend="auto",
-                        times=None):
+                        times=None, packed=None):
     """SoA closest-hit query -> (HitS, ShadingS); o, d are V3 of (B,)
     columns (the hot integrator path — see core.v3). `times` (B,) enables
     sphere motion blur."""
@@ -95,7 +95,8 @@ def intersect_shade_soa(scene, o, d, t_min, t_max, chunk=1024, backend="auto",
         )
     t = checkpoint_name(t, "isect_t")
     idx = checkpoint_name(idx, "isect_idx")
-    return isect.hit_attributes_soa(scene, o, d, idx, t, times=times)
+    return isect.hit_attributes_soa(scene, o, d, idx, t, times=times,
+                                    packed=packed)
 
 
 def occluded_soa(scene, o, d, t_min, t_max, chunk=1024, backend="auto",
