@@ -139,6 +139,9 @@ def parse_scene_xml(xml_string: str, asset_dir: str = ".") -> S.SceneSpec:
                     center=_vec(p[("Point", "center")]),
                     radius=float(p[("float", "radius")]),
                     material=int(p.get(("int", "material"), "0")),
+                    # optional shutter-interval motion (MovingSphere)
+                    velocity=_vec(p[("Point", "velocity")])
+                    if ("Point", "velocity") in p else (0.0, 0.0, 0.0),
                 )
             )
 
