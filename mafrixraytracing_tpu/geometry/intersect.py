@@ -473,8 +473,14 @@ def hit_attributes_soa(scene, o, d, prim_idx: Array, t_hint: Array,
     if packed is None:
         packed = packed_attr_table(scene)
     row = packed[jnp.clip(prim_idx, 0, P - 1)]  # (B, 36)
-    col = lambda k: row[:, k]
-    vec = lambda k: V3(row[:, k], row[:, k + 1], row[:, k + 2])
+    # unpack ONCE through an optimization barrier: the gathered row keeps a
+    # lane-padded {1,0} layout (36 -> 128, ~7x bytes), and without the
+    # barrier every consuming fusion re-slices (re-reads) the padded array;
+    # materializing the 36 dense (B,) columns in one pass makes every
+    # consumer read unpadded data
+    cols = lax.optimization_barrier(tuple(row[:, k] for k in range(PACKED_COLS)))
+    col = lambda k: cols[k]
+    vec = lambda k: V3(cols[k], cols[k + 1], cols[k + 2])
 
     # --- triangle attributes (Moller-Trumbore on SoA columns) ---
     v0, e1, e2 = vec(0), vec(3), vec(6)

@@ -561,8 +561,20 @@ def tiled_pixel_order(width: int, height: int, tile_w: int = 0, tile_h: int = 0)
 
 
 def _spp_group(spp: int, B: int, target: int) -> int:
-    """Largest divisor of `spp` keeping the wavefront B*G near `target`."""
-    g = max(1, min(spp, target // max(B, 1)))
+    """Largest divisor of `spp` keeping the wavefront B*G near `target`,
+    preferring divisors that also divide the intersector TILE so a pixel's
+    G samples never straddle ray tiles (which would silently loosen the
+    per-tile cull frustum)."""
+    from mafrixraytracing_tpu.ops.intersect_pallas import TILE
+
+    cap = max(1, min(spp, target // max(B, 1)))
+    best = 1
+    for g in range(1, cap + 1):
+        if spp % g == 0 and TILE % g == 0:
+            best = g
+    if best > 1:
+        return best
+    g = cap
     while spp % g:
         g -= 1
     return g

@@ -224,6 +224,11 @@ def _closest_kernel(
     cross-lane argmin reduce runs once at the end instead of once per
     cluster — per-cluster cost is the intersection math alone.
 
+    Tie-break contract: among exactly-equal best distances the SMALLEST
+    GLOBAL TRIANGLE INDEX wins (the epilogue reduces indices with min over
+    equal-t lanes). The jnp reference path reduces the same way, so index
+    equality holds even for shared-edge hits (tests/test_pallas.py).
+
     Early exit: a ray is resolved when `min(best over lanes, far) <= next
     cluster entry` — `far` (the exit distance of the ray's last surviving
     cluster, from the cull) bounds where the ray can still find geometry,
