@@ -376,7 +376,13 @@ def _mega_hits(scene, o, d, t_min, t_max):
     nearest mega hit within (t_min, t_max) per ray, with idx the *global*
     triangle index (-1 on miss / t = BIG)."""
     T = scene.tri_v0.shape[0]
-    ids = scene.mega_ids
+    n = max(int(getattr(scene, "num_mega", 0)), 0)
+    if n == 0:
+        B = o.x.shape[0]
+        return jnp.full((B,), BIG, jnp.float32), jnp.full((B,), -1, jnp.int32)
+    # static slice to the live mega rows (mega_ids is -1-padded to MAX_MEGA;
+    # the live entries are first)
+    ids = scene.mega_ids[:n]
     live = ids >= 0
     idc = jnp.clip(ids, 0, T - 1)
     # (M,) per-component triangle columns broadcast against (B, 1) rays

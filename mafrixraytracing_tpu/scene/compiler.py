@@ -87,6 +87,11 @@ class ScenePytree(struct.PyTreeNode):
     # path skip the per-bounce texture gather entirely for untextured
     # scenes (a (B,)-indexed gather costs ~3 ms at B=512k).
     has_textures: bool = struct.field(pytree_node=False, default=False)
+    # static: number of live mega triangles. The dense prepass computes
+    # (B, n) planes; slicing to the real count instead of MAX_MEGA=32 cuts
+    # its lane-padded traffic (32 -> 128 lanes regardless, but fewer rows
+    # of work and temps when n is small).
+    num_mega: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_tris(self) -> int:
@@ -348,6 +353,7 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
         cluster_max=jnp.asarray(accel["cluster_max"]),
         mega_ids=jnp.asarray(accel["mega_ids"]),
         has_textures=bool((mat_tex >= 0).any()),
+        num_mega=int((accel["mega_ids"] >= 0).sum()),
     )
 
     cam_spec = scene_spec.camera
