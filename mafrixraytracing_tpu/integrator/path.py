@@ -276,7 +276,11 @@ def _trace_physical(scene, rays, keys, config, times=None):
     tax on TPU."""
     from mafrixraytracing_tpu.core import v3
     from mafrixraytracing_tpu.core.v3 import V3
-    from mafrixraytracing_tpu.lights.lights import nee_area_soa, nee_point_soa
+    from mafrixraytracing_tpu.lights.lights import (
+        nee_area_soa,
+        nee_point_soa,
+        nee_sphere_soa,
+    )
     from mafrixraytracing_tpu.materials.bsdf import emitted_soa, sample_bsdf_soa
     from mafrixraytracing_tpu.ops import dispatch
 
@@ -334,15 +338,24 @@ def _trace_physical(scene, rays, keys, config, times=None):
             w = jnp.where(prev_specular, 1.0, 0.0)
         else:
             w = jnp.ones((B,), jnp.float32)
+        if config.nee:
+            # sphere lights are NEE-only (no MIS pdf conversion exists for
+            # them yet): count their BSDF-hit emission only after delta
+            # chains, exactly like the nee-without-mis branch
+            T = scene.tri_v0.shape[0]
+            w = jnp.where(hit.prim_idx >= T,
+                          jnp.where(prev_specular, 1.0, 0.0), w)
         rad = rad + v3.where(hit_light, thr * Le * w, zero)
 
         alive = alive & hit.valid & (sh.mtype != EMISSIVE)
 
         # --- next-event estimation ---
         if config.nee:
-            direct = nee_area_soa(
-                scene, hit, bkey, occluded_fn, config.mis, sh
-            ) + nee_point_soa(scene, hit, occluded_fn, sh)
+            direct = (
+                nee_area_soa(scene, hit, bkey, occluded_fn, config.mis, sh)
+                + nee_point_soa(scene, hit, occluded_fn, sh)
+                + nee_sphere_soa(scene, hit, bkey, occluded_fn, sh)
+            )
             rad = rad + v3.where(alive, thr * direct, zero)
 
         # --- BSDF sample & bounce ---

@@ -291,3 +291,59 @@ def nee_point_soa(scene, hit, occluded_fn, sh) -> V3:
         s = jnp.where(vis, cos_s / d2, 0.0)
         total = total + f * V3(inten[0] * s, inten[1] * s, inten[2] * s)
     return total
+
+
+def nee_sphere_soa(scene, hit, key, occluded_fn, sh) -> V3:
+    """Direct lighting from emissive-material spheres (the reference's DEAD
+    `CircleAreaLightObject`, revived): per sphere-light row, one uniformly
+    area-sampled surface point, shadow ray, and the standard area-form
+    estimator f * Le * cos_s * |cos_l| / (d^2 * pdf_A) with
+    pdf_A = 1 / (4 pi r^2). Static loop over the (small) table, shadow rays
+    flattened into one batched occlusion query. Sphere lights are NEE-only:
+    the integrator suppresses their BSDF-hit emission on non-specular paths
+    (see `_trace_physical`) so nothing double counts."""
+    from mafrixraytracing_tpu.core import rng
+
+    SL = scene.slight_center.shape[0]
+    zero = V3.fill((0.0, 0.0, 0.0), hit.t.shape)
+    if SL == 0:
+        return zero
+    B = hit.t.shape[0]
+    origin = hit.point + hit.normal * SHADOW_EPS
+    total = zero
+    geoms = []
+    for i in range(SL):
+        u = rng.uniforms(rng.split_dim(key, 40 + i), 0, (2,))
+        z = 1.0 - 2.0 * u[..., 0]
+        rxy = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        phi = 2.0 * jnp.pi * u[..., 1]
+        ln = V3(rxy * jnp.cos(phi), rxy * jnp.sin(phi), z)  # surface normal
+        c = scene.slight_center[i]
+        r = scene.slight_radius[i]
+        p = V3(c[0] + ln.x * r, c[1] + ln.y * r, c[2] + ln.z * r)
+        to_l = p - hit.point
+        d2 = jnp.maximum(v3.dot(to_l, to_l), 1e-12)
+        inv_d = jax.lax.rsqrt(d2)
+        wl = to_l * inv_d
+        dist = d2 * inv_d
+        cos_s = v3.dot(hit.normal, wl)
+        cos_l = -v3.dot(ln, wl)  # light-side cosine (emit outward only)
+        f, _ = eval_bsdf_soa(sh, hit, wl)
+        candidate = (
+            scene.slight_mask[i] & hit.valid & (cos_s > 0.0) & (cos_l > 0.0)
+            & ((f.x > 0.0) | (f.y > 0.0) | (f.z > 0.0))
+        )
+        pdf_a = 1.0 / jnp.maximum(4.0 * jnp.pi * r * r, 1e-12)
+        geoms.append((wl, dist, d2, cos_s, cos_l, f, candidate, pdf_a, i))
+    so = V3(*(jnp.tile(cc, SL) for cc in origin))
+    sd = V3(*(jnp.concatenate([g[0][k] for g in geoms]) for k in range(3)))
+    t_far = jnp.concatenate(
+        [jnp.where(g[6], g[1] - SHADOW_EPS, 0.0) for g in geoms]
+    )
+    blocked = occluded_fn(so, sd, SHADOW_EPS, t_far).reshape(SL, B)
+    for (wl, dist, d2, cos_s, cos_l, f, candidate, pdf_a, i) in geoms:
+        vis = candidate & ~blocked[i]
+        Le = scene.slight_radiance[i]
+        s_ = jnp.where(vis, cos_s * cos_l / (d2 * pdf_a), 0.0)
+        total = total + f * V3(Le[0] * s_, Le[1] * s_, Le[2] * s_)
+    return total

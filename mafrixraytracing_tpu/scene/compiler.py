@@ -74,6 +74,13 @@ class ScenePytree(struct.PyTreeNode):
     plight_pos: Array
     plight_intensity: Array
     plight_mask: Array
+    # --- sphere area lights (SL,) — emissive-material spheres, sampled by
+    # NEE (revives the reference's DEAD CircleAreaLightObject,
+    # `Core/Shape/CircleAreaLightObject.fs:8-25`) ---
+    slight_center: Array     # (SL, 3)
+    slight_radius: Array     # (SL,)
+    slight_radiance: Array   # (SL, 3)
+    slight_mask: Array       # (SL,) bool
     # --- environment ---
     background: Array       # (3,) constant background radiance (miss shader)
     # --- acceleration: kd-leaf clustered AABBs (accel.clusters). Triangles
@@ -310,6 +317,23 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
         plight_intensity[i] = pl.intensity
         plight_mask[i] = True
 
+    # --- sphere area lights: emissive-material spheres ---
+    sl_rows = [
+        i for i, sp in enumerate(scene_spec.spheres)
+        if materials[sp.material].type == "emissive"
+    ]
+    SL = bucket_size(len(sl_rows), 4) if sl_rows else 0
+    slight_center = np.zeros((SL, 3), np.float32)
+    slight_radius = np.zeros((SL,), np.float32)
+    slight_radiance = np.zeros((SL, 3), np.float32)
+    slight_mask = np.zeros((SL,), bool)
+    for row, i in enumerate(sl_rows):
+        sp = scene_spec.spheres[i]
+        slight_center[row] = sp.center
+        slight_radius[row] = sp.radius
+        slight_radiance[row] = materials[sp.material].emission
+        slight_mask[row] = True
+
     scene = ScenePytree(
         tri_v0=jnp.asarray(tri["v0"]),
         tri_e1=jnp.asarray(tri["e1"]),
@@ -348,6 +372,10 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
         plight_pos=jnp.asarray(plight_pos),
         plight_intensity=jnp.asarray(plight_intensity),
         plight_mask=jnp.asarray(plight_mask),
+        slight_center=jnp.asarray(slight_center),
+        slight_radius=jnp.asarray(slight_radius),
+        slight_radiance=jnp.asarray(slight_radiance),
+        slight_mask=jnp.asarray(slight_mask),
         background=jnp.zeros((3,), jnp.float32),
         cluster_min=jnp.asarray(accel["cluster_min"]),
         cluster_max=jnp.asarray(accel["cluster_max"]),
