@@ -268,10 +268,15 @@ def _closest_kernel(
         k, best_t, _ = state
         # next chunk can only help a ray whose resolution limit — the min of
         # its current best hit and its last surviving cluster's exit — lies
-        # beyond the next cluster's conservative entry distance
+        # at or beyond the next cluster's conservative entry distance. The
+        # comparison MUST be inclusive (<=): a flat axis-aligned cluster has
+        # zero AABB thickness, so a ray's conservative entry equals its exit
+        # (`far`); a strict < would exit the walk before ever testing the
+        # cluster and silently drop its geometry (round-3 confirmed bug;
+        # regression: tests/test_pallas.py::test_flat_clustered_rect_*).
         limit = jnp.minimum(jnp.min(best_t, axis=1, keepdims=True), far)
         worst = jnp.max(limit)
-        return (k < n) & (entry_ref[r, jnp.minimum(k, n - 1)] < worst)
+        return (k < n) & (entry_ref[r, jnp.minimum(k, n - 1)] <= worst)
 
     init = (
         jnp.int32(0),

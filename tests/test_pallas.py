@@ -94,3 +94,68 @@ def test_matches_jnp_on_spot():
     t_p, i_p = ip.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8, interpret=True)
     agree = np.mean(np.asarray(i_j) == np.asarray(i_p))
     assert agree == 1.0, f"index agreement {agree}"
+
+
+def _flat_quad_over_mega_ground():
+    """Judge repro scene (round-3 VERDICT): a small flat quad at y=0 that
+    lands in a regular cluster (zero-thickness AABB -> conservative entry ==
+    exit for vertical rays) over a huge ground quad at y=-5 that becomes a
+    mega triangle. The round-3 kernel's strict early-exit comparison skipped
+    the flat cluster entirely and fell through to the ground."""
+    from mafrixraytracing_tpu.scene import spec as S
+
+    quad = S.make_rect_mesh(
+        (-0.5, 0.0, -0.5), (0.5, 0.0, -0.5), (0.5, 0.0, 0.5), (-0.5, 0.0, 0.5)
+    )
+    ground = S.make_rect_mesh(
+        (-10.0, -5.0, -10.0), (10.0, -5.0, -10.0),
+        (10.0, -5.0, 10.0), (-10.0, -5.0, 10.0),
+    )
+    spec = S.SceneSpec(
+        shapes=[S.ShapeSpec(mesh=quad, material=0),
+                S.ShapeSpec(mesh=ground, material=0)]
+    )
+    cs = compile_scene(spec)
+    # the premise of the repro: ground is mega, quad is clustered
+    assert int(cs.scene.num_mega) >= 2
+    return cs
+
+
+def test_flat_clustered_rect_axis_aligned_tile():
+    cs = _flat_quad_over_mega_ground()
+    n = 1024
+    key = jax.random.key(11)
+    xz = jax.random.uniform(key, (n, 2), minval=-0.45, maxval=0.45)
+    o = jnp.stack([xz[:, 0], jnp.full((n,), 2.0), xz[:, 1]], axis=1)
+    d = jnp.tile(jnp.array([[0.0, -1.0, 0.0]]), (n, 1))
+    rays = Rays(origin=o, direction=d)
+    t_j, i_j = isect.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8)
+    t_p, i_p = ip.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_j), np.asarray(i_p))
+    np.testing.assert_allclose(np.asarray(t_j), np.asarray(t_p), rtol=1e-5)
+    # every ray must hit the quad at t = 2, not the ground at t = 7
+    np.testing.assert_allclose(np.asarray(t_p), 2.0, atol=1e-4)
+
+
+def test_flat_clustered_rect_oblique_tile():
+    cs = _flat_quad_over_mega_ground()
+    n = 1024
+    d1 = jnp.array([0.3, -1.0, 0.2])
+    d1 = d1 / jnp.linalg.norm(d1)
+    key = jax.random.key(12)
+    xz = jax.random.uniform(key, (n, 2), minval=-0.3, maxval=0.3)
+    # place origins so the rays pass through the quad at y=0
+    t_to_plane = 2.0 / (-float(d1[1]))
+    ox = xz[:, 0] - float(d1[0]) * t_to_plane
+    oz = xz[:, 1] - float(d1[2]) * t_to_plane
+    o = jnp.stack([ox, jnp.full((n,), 2.0), oz], axis=1)
+    rays = Rays(origin=o, direction=jnp.tile(d1[None], (n, 1)))
+    t_j, i_j = isect.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8)
+    t_p, i_p = ip.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_j), np.asarray(i_p))
+    hit = np.asarray(i_j) >= 0
+    np.testing.assert_allclose(
+        np.asarray(t_j)[hit], np.asarray(t_p)[hit], rtol=1e-5
+    )
+    # all rays were aimed through the quad: none may fall through to ground
+    assert hit.all() and (np.asarray(i_p) < 2).all()
