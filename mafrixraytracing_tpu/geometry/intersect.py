@@ -312,7 +312,7 @@ def hit_attributes(scene, rays: Rays, prim_idx: Array, t_hint: Array) -> Hit:
 # Column layout (tri rows | sphere rows):
 #   0:3   v0            | center
 #   3:6   e1            | radius (col 3), 0, 0
-#   6:9   e2            | 0
+#   6:9   e2            | velocity (cols 6:9, for MovingSphere time shift)
 #   9:12  n0, 12:15 n1, 15:18 n2 (shading normals) | 0
 #   18:20 uv0, 20:22 uv1, 22:24 uv2                | 0
 #   24:27 albedo   27:30 emission   30 fuzz   31 ior
@@ -348,7 +348,9 @@ def packed_attr_table(scene) -> Array:
     sph_rows = jnp.concatenate(
         [
             scene.sph_center, scene.sph_radius[:, None],
-            jnp.zeros((Sp, 20), jnp.float32),
+            jnp.zeros((Sp, 2), jnp.float32),
+            scene.sph_velocity,
+            jnp.zeros((Sp, 15), jnp.float32),
             scene.mat_albedo[ms], scene.mat_emission[ms],
             scene.mat_fuzz[ms, None], scene.mat_ior[ms, None],
             f(scene.mat_type[ms, None]), f(scene.mat_tex[ms, None]),
@@ -360,7 +362,7 @@ def packed_attr_table(scene) -> Array:
 
 
 def hit_attributes_packed(scene, rays: Rays, prim_idx: Array, t_hint: Array,
-                          packed=None):
+                          packed=None, times=None):
     """Differentiable attribute + shading recompute via ONE packed row
     gather. Same math/contract as `hit_attributes`, plus a `Shading` record
     (material columns joined per primitive, albedo already modulated by its
@@ -396,8 +398,11 @@ def hit_attributes_packed(scene, rays: Rays, prim_idx: Array, t_hint: Array,
         + v[..., None] * row[:, 22:24]
     )
 
-    # --- sphere attributes (sphere rows: center in 0:3, radius col 3) ---
+    # --- sphere attributes (sphere rows: center 0:3, radius col 3,
+    # velocity 6:9 — time-shifted for MovingSphere, like hit_attributes_soa)
     c = row[:, 0:3]
+    if times is not None:
+        c = c + row[:, 6:9] * times[:, None]
     r = row[:, 3]
     oc = o - c
     b = dot(oc, d)
@@ -500,8 +505,13 @@ def hit_attributes_soa(scene, o, d, prim_idx: Array, t_hint: Array,
     uu_tri = w * col(18) + u * col(20) + v * col(22)
     vv_tri = w * col(19) + u * col(21) + v * col(23)
 
-    # --- sphere attributes (center in cols 0:3, radius col 3) ---
+    # --- sphere attributes (center in cols 0:3, radius col 3, velocity in
+    # cols 6:9) — the center is time-shifted by velocity * time so moving
+    # spheres (reference `MovingSphere`, `RayTracing.fs:210-253`) shade with
+    # on-surface hit points/normals, consistent with the time-shifted search
     c = vec(0)
+    if times is not None:
+        c = c + vec(6) * times
     r = col(3)
     oc = o - c
     b = v3.dot(oc, d)
@@ -555,6 +565,24 @@ def hit_attributes_soa(scene, o, d, prim_idx: Array, t_hint: Array,
             checkpoint_name(tex_rgb.z, "tex_b"),
         )
         albedo = albedo * tex_rgb
+    # Solid-angle pdf of the sphere-light cone sampler for this very ray
+    # (origin o toward sphere (c, r)): pdf = 1 / (2 pi (1 - cos_max)),
+    # cos_max = sqrt(1 - r^2/|c-o|^2). Matches `lights.nee_sphere_soa`'s
+    # sampler exactly (required for unbiased MIS); 0 when o is inside the
+    # sphere (the cone sampler cannot generate interior hits, so the BSDF
+    # side takes full weight) and for triangle rows.
+    # detached: a sampling pdf used only inside MIS weights (differentiating
+    # it is not part of the reparameterized estimator, and on triangle rows
+    # the r/c columns hold unrelated data whose sqrt-at-zero backward would
+    # emit NaN cotangents)
+    oc_l = jax.tree_util.tree_map(lax.stop_gradient, o - c)
+    dc2 = v3.dot(oc_l, oc_l)
+    r_sg = lax.stop_gradient(r)
+    sin2_max = r_sg * r_sg / jnp.maximum(dc2, 1e-12)
+    cos_max = jnp.sqrt(jnp.clip(1.0 - sin2_max, 0.0, 1.0))
+    cone_solid = 2.0 * jnp.pi * jnp.maximum(1.0 - cos_max, 1e-12)
+    light_pdf_sa = jnp.where(is_sph & (sin2_max < 1.0), 1.0 / cone_solid, 0.0)
+
     sh = ShadingS(
         albedo=albedo,
         emission=vec(27),
@@ -562,6 +590,7 @@ def hit_attributes_soa(scene, o, d, prim_idx: Array, t_hint: Array,
         ior=col(31),
         mtype=col(32).astype(jnp.int32),
         two_sided=col(34) > 0.5,
+        light_pdf_sa=light_pdf_sa,
     )
     return hit, sh
 

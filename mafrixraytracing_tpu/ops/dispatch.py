@@ -110,6 +110,6 @@ def occluded_soa(scene, o, d, t_min, t_max, chunk=1024, backend="auto",
     else:
         occ = isect.occluded(
             scene, Rays(origin=o.arr(), direction=d.arr()), t_min, t_max,
-            chunk=chunk,
+            chunk=chunk, times=times,
         )
     return checkpoint_name(occ, "occluded")

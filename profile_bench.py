@@ -58,7 +58,10 @@ timed("pallas find_closest 65536 primary rays", srch, rays, n=10)
 # 4. cull-only
 o, d = rays.origin, rays.direction
 tmax = jnp.full((o.shape[0],), 1e8, jnp.float32)
-cull = jax.jit(lambda o, d, t: IP._cull(o, d, t, scene.cluster_min, scene.cluster_max))
+from mafrixraytracing_tpu.core.v3 import V3
+
+cull = jax.jit(lambda o, d, t: IP._cull(V3.of(o), V3.of(d), t,
+                                        scene.cluster_min, scene.cluster_max))
 timed("cull only", cull, o, d, tmax, n=10)
 
 # 5. single 1-spp wavefront trace (fwd)

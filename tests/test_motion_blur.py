@@ -61,3 +61,44 @@ def test_moving_sphere_blurs():
 def test_velocity_reaches_scene_pytree():
     cs = _scene((1.0, 2.0, 3.0))
     np.testing.assert_allclose(np.asarray(cs.scene.sph_velocity)[0], (1, 2, 3))
+
+
+def test_moving_sphere_shades_on_surface():
+    """Round-3 advisor finding: the attribute recompute ignored `times`, so a
+    moving sphere shaded against its STATIC center — off-surface hit points
+    and non-unit normals (e.g. normal (-4,0,0) for velocity (2,0,0) at t=1).
+    The recompute must time-shift the center exactly like the search."""
+    from mafrixraytracing_tpu.core.v3 import V3
+    from mafrixraytracing_tpu.geometry import intersect as isect
+
+    cs = compile_scene(S.SceneSpec(
+        materials=[S.MaterialSpec()],
+        spheres=[S.SphereSpec(center=(0.0, 0.0, 0.0), radius=1.0, material=0,
+                              velocity=(2.0, 0.0, 0.0))],
+    ))
+    # at t=1 the sphere center is at (2,0,0); a -z ray through (2,0,5) hits
+    # the front of the moved sphere at (2,0,1) with normal (0,0,1)
+    B = 8
+    o = V3(jnp.full((B,), 2.0), jnp.zeros((B,)), jnp.full((B,), 5.0))
+    d = V3(jnp.zeros((B,)), jnp.zeros((B,)), jnp.full((B,), -1.0))
+    times = jnp.ones((B,), jnp.float32)
+    t, idx = isect.find_closest(
+        cs.scene,
+        __import__("mafrixraytracing_tpu.core.types", fromlist=["Rays"]).Rays(
+            origin=o.arr(), direction=d.arr()),
+        1e-3, 1e8, times=times)
+    assert bool((idx >= 0).all())
+    np.testing.assert_allclose(np.asarray(t), 4.0, atol=1e-4)
+    hit, _ = isect.hit_attributes_soa(cs.scene, o, d, idx, t, times=times)
+    n = np.stack([np.asarray(hit.normal.x), np.asarray(hit.normal.y),
+                  np.asarray(hit.normal.z)], axis=1)
+    np.testing.assert_allclose(n, [[0.0, 0.0, 1.0]] * B, atol=1e-4)
+    p = np.stack([np.asarray(hit.point.x), np.asarray(hit.point.y),
+                  np.asarray(hit.point.z)], axis=1)
+    np.testing.assert_allclose(p, [[2.0, 0.0, 1.0]] * B, atol=1e-4)
+
+    # AoS packed recompute agrees
+    from mafrixraytracing_tpu.core.types import Rays
+    hit2, _ = isect.hit_attributes_packed(
+        cs.scene, Rays(origin=o.arr(), direction=d.arr()), idx, t, times=times)
+    np.testing.assert_allclose(np.asarray(hit2.normal), n, atol=1e-4)

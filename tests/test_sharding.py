@@ -73,4 +73,4 @@ def test_multihost_launch_single_process():
     assert mesh.devices.size == len(jax.devices())
     info = launch.process_info()
     assert info["process_count"] == 1
-    assert info["global_devices"] == 8
+    assert info["global_devices"] == len(jax.devices())
