@@ -339,22 +339,31 @@ def _trace_physical(scene, rays, keys, config, times=None):
         else:
             w = jnp.ones((B,), jnp.float32)
         if config.nee:
-            # sphere lights are NEE-only (no MIS pdf conversion exists for
-            # them yet): count their BSDF-hit emission only after delta
-            # chains, exactly like the nee-without-mis branch
+            # sphere lights: full power-2 MIS against the cone sampler's
+            # solid-angle pdf (sh.light_pdf_sa, computed in the attribute
+            # recompute from this ray's origin — 0 for origins inside the
+            # sphere, where NEE cannot sample and BSDF takes full weight)
             T = scene.tri_v0.shape[0]
-            w = jnp.where(hit.prim_idx >= T,
-                          jnp.where(prev_specular, 1.0, 0.0), w)
+            if config.mis:
+                pls = sh.light_pdf_sa
+                w_sph = prev_pdf**2 / jnp.maximum(prev_pdf**2 + pls**2, 1e-20)
+                w_sph = jnp.where(prev_specular, 1.0, w_sph)
+            else:
+                w_sph = jnp.where(prev_specular, 1.0, 0.0)
+            w = jnp.where(hit.prim_idx >= T, w_sph, w)
         rad = rad + v3.where(hit_light, thr * Le * w, zero)
 
         alive = alive & hit.valid & (sh.mtype != EMISSIVE)
 
         # --- next-event estimation ---
         if config.nee:
+            wo = -d
             direct = (
-                nee_area_soa(scene, hit, bkey, occluded_fn, config.mis, sh)
-                + nee_point_soa(scene, hit, occluded_fn, sh)
-                + nee_sphere_soa(scene, hit, bkey, occluded_fn, sh)
+                nee_area_soa(scene, hit, bkey, occluded_fn, config.mis, sh,
+                             wo=wo)
+                + nee_point_soa(scene, hit, occluded_fn, sh, wo=wo)
+                + nee_sphere_soa(scene, hit, bkey, occluded_fn, sh,
+                                 mis=config.mis, wo=wo)
             )
             rad = rad + v3.where(alive, thr * direct, zero)
 
@@ -461,7 +470,11 @@ def _trace_mafrix(scene, rays, keys, config):
         wl = to_l / dist[:, None]
         cos_s = dot(hit.normal, wl)
         cos_l = dot(ls.normal, -wl)
-        shadow = Rays(origin=hit.point + hit.normal * L.SHADOW_EPS, direction=wl)
+        # reference-exact shadow protocol: origin AT the hit point with
+        # t in (eps, dist - eps) (`Integrators.fs:44`; golden_numpy.py
+        # matches) — no geometric offset, so the target light's own surface
+        # can never fall inside the tested interval
+        shadow = Rays(origin=hit.point, direction=wl)
         blocked = occluded_fn(shadow, L.SHADOW_EPS, dist - L.SHADOW_EPS)
         direct = (
             ls.radiance
@@ -495,11 +508,21 @@ def _trace_mafrix(scene, rays, keys, config):
 def trace_stats(scene, rays: Rays, keys: Array, config: PathTracerConfig) -> Array:
     """Count useful ray queries (closest-hit + shadow) for one wavefront —
     the measured ray accounting used by bench.py. Mirrors the physical
-    estimator's control flow without shading."""
+    estimator's control flow without shading, INCLUDING the true per-lane
+    Russian-roulette survival rule (p = clip(max throughput, 0.05, 0.95)
+    with the same RNG stream as `_trace_physical`) so the bench numerator
+    tracks what the timed run actually traces at depth >= rr_start."""
     B = rays.origin.shape[0]
     alive = jnp.ones((B,), bool)
+    thr = jnp.ones((B, 3), jnp.float32)
     queries = jnp.zeros((), jnp.float32)
-    occluded_fn = _occluder(scene, config)
+    # shadow-query families per bounce: one batched area-light query when any
+    # area light exists, one per point light, one per emissive-sphere light
+    n_shadow = (
+        int(int(scene.light_v0.shape[0]) > 0)
+        + int(scene.plight_pos.shape[0])
+        + int(scene.slight_center.shape[0])
+    )
 
     for bounce in range(config.max_depth):
         bkey = rng.bounce_key(keys, bounce)
@@ -507,16 +530,22 @@ def trace_stats(scene, rays: Rays, keys: Array, config: PathTracerConfig) -> Arr
         hit, sh = _intersect(scene, rays, config, alive=None if bounce == 0 else alive)
         alive = alive & hit.valid & (sh.mtype != EMISSIVE)
         if config.nee:
-            queries = queries + jnp.sum(alive)  # shadow rays
+            queries = queries + n_shadow * jnp.sum(alive)  # shadow rays
         bs = sample_bsdf(scene, hit, -rays.direction, bkey, sh=sh)
-        alive = alive & bs.valid
+        thr = thr * bs.weight
+        alive = alive & bs.valid & (jnp.max(thr, axis=1) > 0.0)
         offset_n = (
             jnp.where(dot(hit.normal, bs.wi)[:, None] >= 0.0, 1.0, -1.0) * hit.normal
         )
         rays = Rays(origin=hit.point + offset_n * RAY_EPS, direction=bs.wi)
         if config.rr_enable and bounce >= config.rr_start:
+            # exact mirror of _trace_physical's roulette: same probability,
+            # same RNG salt, same throughput compensation
+            p = jnp.clip(jnp.max(thr, axis=1), 0.05, 0.95)
             u = rng.uniforms(bkey, 99)
-            alive = alive & (u < 0.8)  # approximate RR survival for counting
+            alive = alive & (u < p)
+            thr = thr / p[:, None]
+        thr = jnp.where(alive[:, None], thr, 0.0)
     return queries
 
 

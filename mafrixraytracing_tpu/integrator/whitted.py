@@ -39,7 +39,13 @@ from mafrixraytracing_tpu.core.math import dot, fresnel_dielectric, normalize, r
 from mafrixraytracing_tpu.core.types import Rays
 from mafrixraytracing_tpu.integrator.path import RAY_EPS, make_pixel_uv
 from mafrixraytracing_tpu.lights import lights as L
-from mafrixraytracing_tpu.materials.bsdf import DIELECTRIC, EMISSIVE, LAMBERT, METAL
+from mafrixraytracing_tpu.materials.bsdf import (
+    DIELECTRIC,
+    EMISSIVE,
+    GLOSSY,
+    LAMBERT,
+    METAL,
+)
 
 INV_PI = 1.0 / jnp.pi
 
@@ -77,8 +83,14 @@ def _direct_deterministic(scene, hit, occluded_fn):
         cos_s = dot(hit.normal, wl)
         cos_l = dot(scene.light_normal[i][None, :], -wl)
         facing = jnp.where(scene.light_two_sided[i], jnp.abs(cos_l), cos_l)
-        shadow = Rays(origin=hit.point + hit.normal * L.SHADOW_EPS, direction=wl)
-        blocked = occluded_fn(shadow, L.SHADOW_EPS, dist - L.SHADOW_EPS)
+        # visibility measured from the OFFSET origin: using the hit.point
+        # distance would self-occlude against visible light geometry
+        # (lights.nee_area_soa has the full analysis)
+        so = hit.point + hit.normal * L.SHADOW_EPS
+        to_o = centroid[None, :] - so
+        disto = jnp.sqrt(jnp.maximum(dot(to_o, to_o), 1e-12))
+        shadow = Rays(origin=so, direction=to_o / disto[:, None])
+        blocked = occluded_fn(shadow, L.SHADOW_EPS, disto - L.SHADOW_EPS)
         # reference `NewAreaLight.L` fold: I * |cos_l| * Area / d^2
         rad = scene.light_radiance[i][None, :] * (
             facing * scene.light_area[i] / d2
@@ -128,7 +140,9 @@ def trace_whitted(
         # lambert: local illumination, retire. Area-light irradiance is
         # weighted by the lambert BRDF here; nee_point folds the BRDF itself
         # (its `eval_bsdf` call).
-        is_lam = live & (mtype == LAMBERT)
+        # glossy shades like lambert under Whitted (the classic tracer has
+        # no distributed glossy reflection; reference Whitted is DEAD anyway)
+        is_lam = live & ((mtype == LAMBERT) | (mtype == GLOSSY))
         direct = _direct_deterministic(scene, hit, occluded_fn)
         point_part = L.nee_point(scene, hit, -rays.direction, occluded_fn, sh=sh)
         radiance = radiance + jnp.where(

@@ -107,10 +107,16 @@ def nee_area(scene, hit, wo, key, occluded_fn, mis: bool = True, sh=None):
         & jnp.any(f > 0.0, axis=-1)
     )
 
-    shadow_rays = Rays(origin=hit.point + hit.normal * SHADOW_EPS, direction=wl)
+    # visibility measured from the OFFSET origin (see nee_area_soa: the
+    # hit.point distance self-occludes against visible light geometry)
+    origin = hit.point + hit.normal * SHADOW_EPS
+    to_p = ls.point - origin
+    d2o = jnp.maximum(dot(to_p, to_p), 1e-12)
+    disto = jnp.sqrt(d2o)
+    shadow_rays = Rays(origin=origin, direction=to_p / disto[..., None])
     # non-candidate lanes get t_max = 0 so the intersector's cull skips them
     blocked = occluded_fn(
-        shadow_rays, SHADOW_EPS, jnp.where(candidate, dist - SHADOW_EPS, 0.0)
+        shadow_rays, SHADOW_EPS, jnp.where(candidate, disto - SHADOW_EPS, 0.0)
     )
     vis = candidate & ~blocked
 
@@ -192,7 +198,7 @@ def packed_light_table(scene):
     )
 
 
-def nee_area_soa(scene, hit, key, occluded_fn, mis: bool, sh):
+def nee_area_soa(scene, hit, key, occluded_fn, mis: bool, sh, wo=None):
     """SoA `nee_area`: same estimator on flat components; light row fetched
     with one packed gather."""
     from mafrixraytracing_tpu.core import rng
@@ -235,14 +241,25 @@ def nee_area_soa(scene, hit, key, occluded_fn, mis: bool, sh):
     facing = jnp.where(two_sided, cos_l != 0.0, cos_l > 0.0)
     cos_l_eff = jnp.abs(cos_l)
 
-    f, pdf_b = eval_bsdf_soa(sh, hit, wl)
+    f, pdf_b = eval_bsdf_soa(sh, hit, wl, wo=wo)
     candidate = (
         ls_valid & hit.valid & (cos_s > 0.0) & facing & (pdf_area > 0.0)
         & ((f.x > 0.0) | (f.y > 0.0) | (f.z > 0.0))
     )
+    # Visibility: the ray is cast from the OFFSET origin, so its distance
+    # to the sampled light point must also be measured from the offset
+    # origin. Using the hit.point distance here self-occludes against the
+    # target light's own (visible) geometry: the light plane sits at
+    # dist - eps/cos(theta) < dist - eps for every non-normal direction
+    # (round-4 finding — NEE was ~dead for visible lights at oblique
+    # angles; tests/test_integrator.py::test_nee_visible_light_oblique).
     origin = hit.point + hit.normal * SHADOW_EPS
+    to_p = p - origin
+    d2o = jnp.maximum(v3.dot(to_p, to_p), 1e-12)
+    inv_do = jax.lax.rsqrt(d2o)
     blocked = occluded_fn(
-        origin, wl, SHADOW_EPS, jnp.where(candidate, dist - SHADOW_EPS, 0.0)
+        origin, to_p * inv_do, SHADOW_EPS,
+        jnp.where(candidate, d2o * inv_do - SHADOW_EPS, 0.0),
     )
     vis = candidate & ~blocked
     scale = cos_s * (cos_l_eff / d2) / jnp.maximum(pdf_area, 1e-12)
@@ -253,7 +270,7 @@ def nee_area_soa(scene, hit, key, occluded_fn, mis: bool, sh):
     return f * radiance * scale
 
 
-def nee_point_soa(scene, hit, occluded_fn, sh) -> V3:
+def nee_point_soa(scene, hit, occluded_fn, sh, wo=None) -> V3:
     """SoA `nee_point`: static loop over the (small) point-light table with
     one batched occlusion query."""
     P = scene.plight_pos.shape[0]
@@ -273,7 +290,7 @@ def nee_point_soa(scene, hit, occluded_fn, sh) -> V3:
         wl = to_l * inv_d
         dist = d2 * inv_d
         cos_s = v3.dot(hit.normal, wl)
-        f, _ = eval_bsdf_soa(sh, hit, wl)
+        f, _ = eval_bsdf_soa(sh, hit, wl, wo=wo)
         candidate = (
             scene.plight_mask[i] & hit.valid & (cos_s > 0.0)
             & ((f.x > 0.0) | (f.y > 0.0) | (f.z > 0.0))
@@ -293,16 +310,21 @@ def nee_point_soa(scene, hit, occluded_fn, sh) -> V3:
     return total
 
 
-def nee_sphere_soa(scene, hit, key, occluded_fn, sh) -> V3:
+def nee_sphere_soa(scene, hit, key, occluded_fn, sh, mis: bool = True,
+                   wo=None) -> V3:
     """Direct lighting from emissive-material spheres (the reference's DEAD
-    `CircleAreaLightObject`, revived): per sphere-light row, one uniformly
-    area-sampled surface point, shadow ray, and the standard area-form
-    estimator f * Le * cos_s * |cos_l| / (d^2 * pdf_A) with
-    pdf_A = 1 / (4 pi r^2). Static loop over the (small) table, shadow rays
-    flattened into one batched occlusion query. Sphere lights are NEE-only:
-    the integrator suppresses their BSDF-hit emission on non-specular paths
-    (see `_trace_physical`) so nothing double counts."""
+    `CircleAreaLightObject`, revived): per sphere-light row, one direction
+    sampled uniformly inside the *visible cone* (PBRT-style cap sampling:
+    cos_t uniform in [cos_max, 1], pdf_sa = 1/(2 pi (1 - cos_max)) with
+    cos_max = sqrt(1 - r^2/d_c^2)) — never wastes samples on the back side —
+    then the solid-angle estimator f * Le * cos_s / pdf_sa, power-2
+    MIS-weighted against the BSDF pdf for the same direction. The matching
+    BSDF-side weight uses `ShadingS.light_pdf_sa` (see `_trace_physical`).
+    Shading points *inside* a sphere light are not sampled (the emission is
+    picked up by the BSDF side at full weight). Static loop over the (small)
+    table, shadow rays flattened into one batched occlusion query."""
     from mafrixraytracing_tpu.core import rng
+    from mafrixraytracing_tpu.core.sampling import _local_to_world_soa
 
     SL = scene.slight_center.shape[0]
     zero = V3.fill((0.0, 0.0, 0.0), hit.t.shape)
@@ -314,36 +336,68 @@ def nee_sphere_soa(scene, hit, key, occluded_fn, sh) -> V3:
     geoms = []
     for i in range(SL):
         u = rng.uniforms(rng.split_dim(key, 40 + i), 0, (2,))
-        z = 1.0 - 2.0 * u[..., 0]
-        rxy = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+        c = jax.lax.stop_gradient(scene.slight_center[i])
+        r = jax.lax.stop_gradient(scene.slight_radius[i])
+        # the sampled cone geometry (direction, distance, pdf) is detached:
+        # it parameterizes the sampler, not the integrand — gradients flow
+        # through f, cos_s (shading normal) and Le; sqrt(1 - sin2) at
+        # sin2 == 1 (shading point on/inside the light) would otherwise emit
+        # NaN cotangents
+        hp = jax.tree_util.tree_map(jax.lax.stop_gradient, hit.point)
+        to_c = V3(c[0] - hp.x, c[1] - hp.y, c[2] - hp.z)
+        dc2 = jnp.maximum(v3.dot(to_c, to_c), 1e-12)
+        inv_dc = jax.lax.rsqrt(dc2)
+        w_axis = to_c * inv_dc
+        sin2_max = jnp.clip(r * r / dc2, 0.0, 1.0)
+        cos_max = jnp.sqrt(1.0 - sin2_max)
+        # uniform in the cap: cos_t ~ U[cos_max, 1]
+        cos_t = 1.0 - u[..., 0] * (1.0 - cos_max)
+        sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
         phi = 2.0 * jnp.pi * u[..., 1]
-        ln = V3(rxy * jnp.cos(phi), rxy * jnp.sin(phi), z)  # surface normal
-        c = scene.slight_center[i]
-        r = scene.slight_radius[i]
-        p = V3(c[0] + ln.x * r, c[1] + ln.y * r, c[2] + ln.z * r)
-        to_l = p - hit.point
-        d2 = jnp.maximum(v3.dot(to_l, to_l), 1e-12)
-        inv_d = jax.lax.rsqrt(d2)
-        wl = to_l * inv_d
-        dist = d2 * inv_d
+        wl = _local_to_world_soa(
+            sin_t * jnp.cos(phi), sin_t * jnp.sin(phi), cos_t, w_axis
+        )
+        # nearest sphere intersection along wl FROM THE OFFSET SHADOW ORIGIN
+        # (visibility rays start at hit.point + n*eps; measuring the
+        # distance from hit.point instead would place the light's own
+        # surface inside the shadow interval and self-occlude — see
+        # nee_area_soa). Near-tangent lanes where the shifted ray misses
+        # fall back to the hit.point distance.
+        oc = origin - V3(
+            jnp.broadcast_to(c[0], origin.x.shape),
+            jnp.broadcast_to(c[1], origin.x.shape),
+            jnp.broadcast_to(c[2], origin.x.shape),
+        )
+        bq = v3.dot(oc, wl)
+        cq = v3.dot(oc, oc) - r * r
+        disc_o = bq * bq - cq
+        tno = -bq - jnp.sqrt(jnp.maximum(disc_o, 0.0))
+        dc = dc2 * inv_dc
+        under = jnp.maximum(r * r - dc2 * sin_t * sin_t, 0.0)
+        dist_hp = jnp.maximum(dc * cos_t - jnp.sqrt(under), 0.0)
+        dist = jnp.where((disc_o > 0.0) & (tno > 0.0), tno, dist_hp)
+        pdf_sa = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-12)
         cos_s = v3.dot(hit.normal, wl)
-        cos_l = -v3.dot(ln, wl)  # light-side cosine (emit outward only)
-        f, _ = eval_bsdf_soa(sh, hit, wl)
+        f, pdf_b = eval_bsdf_soa(sh, hit, wl, wo=wo)
+        inside = r * r >= dc2
         candidate = (
-            scene.slight_mask[i] & hit.valid & (cos_s > 0.0) & (cos_l > 0.0)
+            scene.slight_mask[i] & hit.valid & (cos_s > 0.0) & ~inside
             & ((f.x > 0.0) | (f.y > 0.0) | (f.z > 0.0))
         )
-        pdf_a = 1.0 / jnp.maximum(4.0 * jnp.pi * r * r, 1e-12)
-        geoms.append((wl, dist, d2, cos_s, cos_l, f, candidate, pdf_a, i))
+        if mis:
+            w_mis = pdf_sa**2 / jnp.maximum(pdf_sa**2 + pdf_b**2, 1e-20)
+        else:
+            w_mis = jnp.ones_like(pdf_sa)
+        geoms.append((wl, dist, cos_s, f, candidate, pdf_sa, w_mis, i))
     so = V3(*(jnp.tile(cc, SL) for cc in origin))
     sd = V3(*(jnp.concatenate([g[0][k] for g in geoms]) for k in range(3)))
     t_far = jnp.concatenate(
-        [jnp.where(g[6], g[1] - SHADOW_EPS, 0.0) for g in geoms]
+        [jnp.where(g[4], g[1] - SHADOW_EPS, 0.0) for g in geoms]
     )
     blocked = occluded_fn(so, sd, SHADOW_EPS, t_far).reshape(SL, B)
-    for (wl, dist, d2, cos_s, cos_l, f, candidate, pdf_a, i) in geoms:
+    for (wl, dist, cos_s, f, candidate, pdf_sa, w_mis, i) in geoms:
         vis = candidate & ~blocked[i]
         Le = scene.slight_radiance[i]
-        s_ = jnp.where(vis, cos_s * cos_l / (d2 * pdf_a), 0.0)
+        s_ = jnp.where(vis, cos_s * w_mis / pdf_sa, 0.0)
         total = total + f * V3(Le[0] * s_, Le[1] * s_, Le[2] * s_)
     return total

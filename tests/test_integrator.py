@@ -140,3 +140,93 @@ def test_deterministic_given_key():
     img1 = render_image(cs.scene, cs.camera, 16, 16, 2, jax.random.key(5), CFG)
     img2 = render_image(cs.scene, cs.camera, 16, 16, 2, jax.random.key(5), CFG)
     np.testing.assert_array_equal(np.asarray(img1), np.asarray(img2))
+
+
+def test_dielectric_eta2_weight_directions():
+    """The refracted branch must carry the reference's (et^2/ei^2) radiance
+    compression (`Core/Materials/Material.fs:103-118`): entering glass
+    (air -> ior) scales by ior^2, exiting by 1/ior^2; reflected samples stay
+    at weight 1."""
+    from mafrixraytracing_tpu.core.types import Hit
+    from mafrixraytracing_tpu.materials.bsdf import sample_bsdf
+
+    ior = 1.5
+    spec = S.SceneSpec(
+        materials=[S.MaterialSpec(type="dielectric", albedo=(1, 1, 1), ior=ior)],
+        spheres=[S.SphereSpec(center=(0, 0, 0), radius=1.0, material=0)],
+    )
+    scene = compile_scene(spec).scene
+    B = 4096
+    n = jnp.tile(jnp.array([[0.0, 0.0, 1.0]]), (B, 1))
+
+    def weights(front):
+        hit = Hit(
+            valid=jnp.ones(B, bool),
+            t=jnp.ones(B),
+            point=jnp.zeros((B, 3)),
+            normal=n,
+            front_face=jnp.full(B, front),
+            material=jnp.zeros(B, jnp.int32),
+            prim_idx=jnp.zeros(B, jnp.int32),
+            uv=jnp.zeros((B, 2)),
+        )
+        wo = n  # normal incidence: fr ~ 0.04, TIR impossible
+        keys = rng.pixel_keys(jax.random.key(5), B)
+        bs = sample_bsdf(scene, hit, wo, keys)
+        refracted = np.asarray(jnp.sum(bs.wi * n, axis=1)) < 0.0
+        w = np.asarray(bs.weight)[:, 0]
+        return w[refracted], w[~refracted]
+
+    w_in_refr, w_in_refl = weights(front=True)
+    assert w_in_refr.size > B // 2  # most samples refract at fr ~ 4%
+    np.testing.assert_allclose(w_in_refr, ior**2, rtol=1e-5)
+    np.testing.assert_allclose(w_in_refl, 1.0, rtol=1e-5)
+    w_out_refr, _ = weights(front=False)
+    np.testing.assert_allclose(w_out_refr, 1.0 / ior**2, rtol=1e-5)
+
+
+def test_glass_sphere_furnace_flat():
+    """Solid glass sphere in a unit furnace: every path enters and exits the
+    sphere (possibly with internal reflections), so the eta^2 factors must
+    cancel exactly and each pixel equals the background — a strong oracle
+    that the transmission scaling is applied symmetrically."""
+    spec = S.SceneSpec(
+        camera=S.CameraSpec(position=(0.0, 0.0, 3.0), direction=(0.0, 0.0, -1.0),
+                            fov=40.0, fov_convention="standard"),
+        materials=[S.MaterialSpec(type="dielectric", albedo=(1, 1, 1), ior=1.5)],
+        spheres=[S.SphereSpec(center=(0, 0, 0), radius=1.0, material=0)],
+    )
+    cs = compile_scene(spec)
+    scene = cs.scene.replace(background=jnp.ones(3))
+    cfg = PathTracerConfig(max_depth=24, rr_enable=False, backend="jnp")
+    rad = _trace(scene, [0.0, 0.0, 3.0], [0.0, 0.0, -1.0], 512, config=cfg)
+    np.testing.assert_allclose(np.asarray(rad).mean(), 1.0, atol=0.02)
+
+
+def test_nee_visible_light_oblique():
+    """Round-4 regression: with VISIBLE light geometry and oblique shadow
+    rays, the NEE visibility interval must be measured from the offset
+    shadow origin — measuring from hit.point places the light's own surface
+    at dist - eps/cos(theta) < dist - eps, self-occluding ~every oblique
+    shadow ray. Oracle: NEE-only and BSDF-only estimators target the same
+    direct-light integral."""
+    floor = S.make_rect_mesh((-4, 0, 4), (4, 0, 4), (4, 0, -4), (-4, 0, -4))
+    light = S.make_rect_mesh((-1, 3, -1), (1, 3, -1), (1, 3, 1), (-1, 3, 1))
+    cs = compile_scene(S.SceneSpec(
+        materials=[S.MaterialSpec(albedo=(0.7,) * 3)],
+        shapes=[S.ShapeSpec(floor, 0)],
+        area_lights=[S.AreaLightSpec(light, radiance=(10.0,) * 3, visible=True)],
+    ))
+    scene = cs.scene
+    # oblique: hit at (0.5, 0, 0.5), light centered overhead at origin
+    def run(nee, mis, n, seed):
+        cfg = PathTracerConfig(max_depth=2, rr_enable=False, backend="jnp",
+                               nee=nee, mis=mis)
+        return float(jnp.mean(_trace(scene, [0.5, 1.0, 0.5], [0.0, -1.0, 0.0],
+                                     n, seed=seed, config=cfg)))
+
+    bsdf_only = np.mean([run(False, False, 1 << 14, s) for s in range(4)])
+    nee_only = np.mean([run(True, False, 1 << 13, s + 8) for s in range(4)])
+    mis_both = np.mean([run(True, True, 1 << 13, s + 16) for s in range(4)])
+    np.testing.assert_allclose(nee_only, bsdf_only, rtol=0.04)
+    np.testing.assert_allclose(mis_both, bsdf_only, rtol=0.04)
