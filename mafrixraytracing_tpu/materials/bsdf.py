@@ -35,8 +35,9 @@ from mafrixraytracing_tpu.core.sampling import (
     uniform_hemisphere,
 )
 
-LAMBERT, METAL, DIELECTRIC, EMISSIVE = 0, 1, 2, 3
+LAMBERT, METAL, DIELECTRIC, EMISSIVE, GLOSSY = 0, 1, 2, 3, 4
 INV_PI = 1.0 / jnp.pi
+TWO_PI = 2.0 * jnp.pi
 
 
 def surface_albedo(scene, hit):
@@ -136,29 +137,65 @@ def sample_bsdf(scene, hit, wo: Array, key: Array, uniform_lambert: bool = False
     refr = normalize(refr)
     choose_reflect = (u_c < fr) | ~ref_ok
     wi_die = jnp.where(choose_reflect[..., None], reflect(d, n), refr)
-    w_die = albedo  # usually (1,1,1); RR between lobes cancels Fresnel weight
+    # RR between lobes cancels the Fresnel weight; the refracted branch
+    # additionally carries the (eta_t/eta_i)^2 radiance-compression factor —
+    # the reference's `(et^2/ei^2)(1-F)T/|cos|` transmission weight
+    # (`Core/Materials/Material.fs:103-118`) with (1-F)/pdf and cos/|cos|
+    # cancelled. Factors invert on exit, so closed glass paths are unbiased.
+    eta_scale = jnp.where(choose_reflect, 1.0, (eta_t / eta_i) ** 2)
+    w_die = albedo * eta_scale[..., None]
+
+    # --- glossy: normalized Phong lobe around the mirror direction (the
+    # reference's DEAD GlossySpecular, `Brdfs/GlossySpecular.fs:5-15`,
+    # f = ks (r.wo)^e col — energy-normalized here: f = a (e+2)/(2pi) cos^e).
+    # The exponent rides the fuzz column (type-overloaded; scene compiler).
+    exp_g = jnp.maximum(fuzz, 1.0)
+    from mafrixraytracing_tpu.core.math import local_to_world
+
+    cos_a = jnp.clip(u_l[..., 0], 1e-6, 1.0) ** (1.0 / (exp_g + 1.0))
+    sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+    phi_g = TWO_PI * u_l[..., 1]
+    local_g = jnp.stack(
+        [sin_a * jnp.cos(phi_g), sin_a * jnp.sin(phi_g), cos_a], axis=-1
+    )
+    wi_glo = local_to_world(local_g, refl)
+    cos_glo = dot(wi_glo, n)
+    pdf_glo = (exp_g + 1.0) / TWO_PI * cos_a**exp_g
+    # weight = f cos / pdf = a (e+2)/(e+1) cos_i
+    w_glo = albedo * ((exp_g + 2.0) / (exp_g + 1.0) * jnp.maximum(cos_glo, 0.0))[
+        ..., None
+    ]
 
     is_lam = mtype == LAMBERT
     is_met = mtype == METAL
     is_die = mtype == DIELECTRIC
+    is_glo = mtype == GLOSSY
 
     wi = jnp.where(
-        is_lam[..., None], wi_lam, jnp.where(is_met[..., None], wi_met, wi_die)
+        is_lam[..., None], wi_lam,
+        jnp.where(is_met[..., None], wi_met,
+                  jnp.where(is_glo[..., None], wi_glo, wi_die)),
     )
     weight = jnp.where(
-        is_lam[..., None], w_lam, jnp.where(is_met[..., None], w_met, w_die)
+        is_lam[..., None], w_lam,
+        jnp.where(is_met[..., None], w_met,
+                  jnp.where(is_glo[..., None], w_glo, w_die)),
     )
-    pdf = jnp.where(is_lam, pdf_lam, 1.0)
+    pdf = jnp.where(is_lam, pdf_lam, jnp.where(is_glo, pdf_glo, 1.0))
     specular = is_met | is_die
     valid = jnp.where(
-        is_lam, cos_lam > 0.0, jnp.where(is_met, met_ok, is_die)
+        is_lam, cos_lam > 0.0,
+        jnp.where(is_met, met_ok,
+                  jnp.where(is_glo, cos_glo > 0.0, is_die)),
     )
     return BsdfSample(wi=wi, weight=weight, pdf=pdf, specular=specular, valid=valid)
 
 
 def eval_bsdf(scene, hit, wo: Array, wi: Array, sh=None):
     """Evaluate (f, pdf) for a given direction — used by NEE/MIS. Delta lobes
-    (metal/dielectric) return zero: they cannot be hit by light sampling."""
+    (metal/dielectric) return zero: they cannot be hit by light sampling.
+    The glossy Phong lobe evaluates f = a (e+2)/(2pi) (r.wi)^e with matching
+    sampling pdf (e+1)/(2pi) (r.wi)^e."""
     if sh is None:
         sh = make_shading(scene, hit)
     mtype = sh.mtype
@@ -167,10 +204,20 @@ def eval_bsdf(scene, hit, wo: Array, wi: Array, sh=None):
     cos_wi = dot(wi, n)
     same_side = cos_wi > 0.0
     is_lam = mtype == LAMBERT
+    is_glo = mtype == GLOSSY
+    exp_g = jnp.maximum(sh.fuzz, 1.0)
+    r = reflect(-wo, n)
+    cos_a = jnp.maximum(dot(r, wi), 0.0)
+    glo_ok = is_glo & same_side & (cos_a > 0.0)
+    f_glo = albedo * ((exp_g + 2.0) / TWO_PI * cos_a**exp_g)[..., None]
     f = jnp.where(
-        (is_lam & same_side)[..., None], albedo * INV_PI, 0.0
+        (is_lam & same_side)[..., None], albedo * INV_PI,
+        jnp.where(glo_ok[..., None], f_glo, 0.0),
     )
-    pdf = jnp.where(is_lam & same_side, jnp.maximum(cos_wi, 0.0) * INV_PI, 0.0)
+    pdf = jnp.where(
+        is_lam & same_side, jnp.maximum(cos_wi, 0.0) * INV_PI,
+        jnp.where(glo_ok, (exp_g + 1.0) / TWO_PI * cos_a**exp_g, 0.0),
+    )
     return f, pdf
 
 
@@ -246,25 +293,61 @@ def sample_bsdf_soa(sh, hit, wo: V3, key, uniform_lambert: bool = False) -> Bsdf
     refr = v3.normalize(refr)
     choose_reflect = (u_c < fr) | ~ref_ok
     wi_die = v3.where(choose_reflect, v3.reflect(d, n), refr)
+    # refracted branch carries (eta_t/eta_i)^2 — the reference's
+    # `(et^2/ei^2)(1-F)T/|cos|` transmission weight (`Material.fs:103-118`)
+    # with the RR'd (1-F) and the delta cos fold cancelled (see sample_bsdf)
+    eta_scale = jnp.where(choose_reflect, 1.0, (eta_t / eta_i) ** 2)
+
+    # --- glossy Phong lobe (see sample_bsdf) ---
+    from mafrixraytracing_tpu.core.sampling import _local_to_world_soa
+
+    exp_g = jnp.maximum(sh.fuzz, 1.0)
+    cos_a = jnp.clip(u_l[..., 0], 1e-6, 1.0) ** (1.0 / (exp_g + 1.0))
+    sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+    phi_g = 2.0 * jnp.pi * u_l[..., 1]
+    wi_glo = _local_to_world_soa(
+        sin_a * jnp.cos(phi_g), sin_a * jnp.sin(phi_g), cos_a, refl
+    )
+    cos_glo = v3.dot(wi_glo, n)
+    pdf_glo = (exp_g + 1.0) / (2.0 * jnp.pi) * cos_a**exp_g
+    w_glo = sh.albedo * (
+        (exp_g + 2.0) / (exp_g + 1.0) * jnp.maximum(cos_glo, 0.0)
+    )
 
     is_lam = sh.mtype == LAMBERT
     is_met = sh.mtype == METAL
     is_die = sh.mtype == DIELECTRIC
+    is_glo = sh.mtype == GLOSSY
 
-    wi = v3.where(is_lam, wi_lam, v3.where(is_met, wi_met, wi_die))
-    weight = v3.where(is_lam, w_lam, sh.albedo)
-    pdf = jnp.where(is_lam, pdf_lam, 1.0)
+    wi = v3.where(is_lam, wi_lam,
+                  v3.where(is_met, wi_met, v3.where(is_glo, wi_glo, wi_die)))
+    w_other = v3.where(is_die, sh.albedo * eta_scale,
+                       v3.where(is_glo, w_glo, sh.albedo))
+    weight = v3.where(is_lam, w_lam, w_other)
+    pdf = jnp.where(is_lam, pdf_lam, jnp.where(is_glo, pdf_glo, 1.0))
     specular = is_met | is_die
-    valid = jnp.where(is_lam, cos_lam > 0.0, jnp.where(is_met, met_ok, is_die))
+    valid = jnp.where(is_lam, cos_lam > 0.0,
+                      jnp.where(is_met, met_ok,
+                                jnp.where(is_glo, cos_glo > 0.0, is_die)))
     return BsdfSampleS(wi=wi, weight=weight, pdf=pdf, specular=specular, valid=valid)
 
 
-def eval_bsdf_soa(sh, hit, wi: V3):
-    """SoA `eval_bsdf` (f, pdf) for NEE/MIS; delta lobes return zero."""
+def eval_bsdf_soa(sh, hit, wi: V3, wo: V3 | None = None):
+    """SoA `eval_bsdf` (f, pdf) for NEE/MIS; delta lobes return zero. The
+    glossy Phong lobe needs `wo` (pass it to enable NEE on glossy surfaces;
+    without it glossy evaluates to zero like a delta lobe)."""
     cos_wi = v3.dot(wi, hit.normal)
     lam = (sh.mtype == LAMBERT) & (cos_wi > 0.0)
-    f = v3.where(lam, sh.albedo * INV_PI, V3.fill((0.0, 0.0, 0.0), cos_wi.shape))
+    zero = V3.fill((0.0, 0.0, 0.0), cos_wi.shape)
+    f = v3.where(lam, sh.albedo * INV_PI, zero)
     pdf = jnp.where(lam, jnp.maximum(cos_wi, 0.0) * INV_PI, 0.0)
+    if wo is not None:
+        exp_g = jnp.maximum(sh.fuzz, 1.0)
+        r = v3.reflect(-wo, hit.normal)
+        cos_a = jnp.maximum(v3.dot(r, wi), 0.0)
+        glo = (sh.mtype == GLOSSY) & (cos_wi > 0.0) & (cos_a > 0.0)
+        f = v3.where(glo, sh.albedo * ((exp_g + 2.0) / TWO_PI * cos_a**exp_g), f)
+        pdf = jnp.where(glo, (exp_g + 1.0) / TWO_PI * cos_a**exp_g, pdf)
     return f, pdf
 
 

@@ -13,19 +13,24 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-MATERIAL_TYPES = {"lambert": 0, "metal": 1, "dielectric": 2, "emissive": 3}
+MATERIAL_TYPES = {"lambert": 0, "metal": 1, "dielectric": 2, "emissive": 3,
+                  "glossy": 4}
 
 
 @dataclass
 class MaterialSpec:
     """One material-table row (replaces the `IMaterial` class zoo,
-    reference `Core/Materials/Material.fs:29-125`)."""
+    reference `Core/Materials/Material.fs:29-125`). `glossy` is the
+    normalized Phong lobe with exponent control — the reference's DEAD
+    `GlossySpecular` (`Core/Materials/Brdfs/GlossySpecular.fs:5-15`,
+    f = ks * (r.wo)^exp * col), energy-normalized here."""
 
     type: str = "lambert"
     albedo: tuple = (0.8, 0.8, 0.8)
     emission: tuple = (0.0, 0.0, 0.0)
     fuzz: float = 0.0          # metal roughness (reference `Material.fs:58-64`)
     ior: float = 1.5           # dielectric index (reference `Material.fs:98-125`)
+    exponent: float = 32.0     # Phong exponent for type == "glossy"
     texture_id: int = -1       # -1 = none; else index into the scene texture atlas
 
     def __post_init__(self):

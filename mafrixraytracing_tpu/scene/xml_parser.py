@@ -112,6 +112,14 @@ def parse_scene_xml(xml_string: str, asset_dir: str = ".") -> S.SceneSpec:
                     S.MaterialSpec(type="emissive", albedo=albedo,
                                    emission=_vec(p.get(("color", "emission"), "1,1,1")))
                 )
+            elif mtype == "glossy":
+                # normalized Phong lobe (reference's dead GlossySpecular,
+                # `Brdfs/GlossySpecular.fs:5-15`) with exponent control
+                scene.materials.append(
+                    S.MaterialSpec(type="glossy", albedo=albedo,
+                                   exponent=float(p.get(("float", "exponent"),
+                                                        "32")))
+                )
             else:
                 raise ValueError(f"unknown material type {mtype!r}")
 
