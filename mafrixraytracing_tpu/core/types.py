@@ -99,7 +99,14 @@ class HitS(NamedTuple):
 
 
 class ShadingS(NamedTuple):
-    """SoA form of `Shading` (albedo/emission as V3 columns)."""
+    """SoA form of `Shading` (albedo/emission as V3 columns).
+
+    `light_pdf_sa` is the solid-angle pdf with which the sphere-light NEE
+    cone sampler (`lights.nee_sphere_soa`) would have generated the ray that
+    produced this hit — nonzero only for sphere primitives, 0 when the ray
+    origin was inside the sphere (NEE cannot sample it). Used by the
+    integrator's MIS weight for BSDF-sampled emissive-sphere hits; triangle
+    lights derive their pdf from the area CDF instead."""
 
     albedo: V3
     emission: V3
@@ -107,6 +114,7 @@ class ShadingS(NamedTuple):
     ior: "jnp.ndarray"
     mtype: "jnp.ndarray"
     two_sided: "jnp.ndarray"
+    light_pdf_sa: "jnp.ndarray"
 
 
 class PathState(struct.PyTreeNode):

@@ -45,6 +45,13 @@ class ScenePytree(struct.PyTreeNode):
     tri_mat: Array     # (T,) i32
     tri_light: Array   # (T,) i32 — emitter row in the light table, or -1
     tri_mask: Array    # (T,) bool
+    # --- shared-vertex mesh parameterization: tri corner k of face t is
+    # mesh_vertices[tri_face_vi[t, k]]. tri_v0/e1/e2 are DERIVED caches of
+    # this (identical floats at compile time); optimizing `mesh_vertices`
+    # re-derives them inside jit (opt.inverse.apply_params) so vertex
+    # gradients accumulate into shared vertices across adjacent faces. ---
+    mesh_vertices: Array  # (V, 3) f32
+    tri_face_vi: Array    # (T, 3) i32 (padded rows: 0)
     # --- spheres (Sp,) ---
     sph_center: Array
     sph_radius: Array
@@ -121,7 +128,11 @@ class CompiledScene(struct.PyTreeNode):
 
 
 def _mesh_face_arrays(mesh: S.Mesh, transform=None):
-    """Gather per-face v0/e1/e2 + shading normals + uvs from an indexed mesh."""
+    """Gather per-face v0/e1/e2 + shading normals + uvs from an indexed mesh.
+    Also returns the transformed vertex buffer and face index triples so the
+    compiler can build the scene-level shared vertex buffer (the
+    parameterization that lets vertex gradients accumulate into shared mesh
+    vertices instead of per-face copies)."""
     v = S.transformed_vertices(mesh, transform)
     f = np.asarray(mesh.faces, np.int64)
     p0, p1, p2 = v[f[:, 0]], v[f[:, 1]], v[f[:, 2]]
@@ -153,7 +164,7 @@ def _mesh_face_arrays(mesh: S.Mesh, transform=None):
         uv0 = uv1 = uv2 = np.zeros((f.shape[0], 2), np.float32)
 
     area = 0.5 * norm[:, 0]
-    return p0, e1, e2, gn, (n0, n1, n2), (uv0, uv1, uv2), area
+    return p0, e1, e2, gn, (n0, n1, n2), (uv0, uv1, uv2), area, (v, f)
 
 
 def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
@@ -166,10 +177,25 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
         materials = [S.MaterialSpec()]
 
     tri_chunks = {k: [] for k in ("v0", "e1", "e2", "n0", "n1", "n2",
-                                  "uv0", "uv1", "uv2", "mat", "light")}
+                                  "uv0", "uv1", "uv2", "mat", "light",
+                                  "face_vi")}
+    # scene-level shared vertex buffer: every triangle's corners are indices
+    # into this buffer, so `mesh_vertices` is an optimizable leaf whose
+    # gradient accumulates contributions from ALL faces sharing a vertex
+    # (the BASELINE "recover spot vertices" parameterization)
+    vert_chunks: list = []
+    vert_offset = 0
 
-    def add_tris(p0, e1, e2, sn, uvs, mat_id, light_id):
+    def add_verts(v, f):
+        nonlocal vert_offset
+        vert_chunks.append(np.asarray(v, np.float32))
+        out = np.asarray(f, np.int64) + vert_offset
+        vert_offset += v.shape[0]
+        return out.astype(np.int32)
+
+    def add_tris(p0, e1, e2, sn, uvs, mat_id, light_id, face_vi):
         n = p0.shape[0]
+        tri_chunks["face_vi"].append(np.asarray(face_vi, np.int32))
         tri_chunks["v0"].append(p0)
         tri_chunks["e1"].append(e1)
         tri_chunks["e2"].append(e2)
@@ -189,7 +215,9 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
         )
 
     for shape in scene_spec.shapes:
-        p0, e1, e2, gn, sn, uvs, _ = _mesh_face_arrays(shape.mesh, shape.transform)
+        p0, e1, e2, gn, sn, uvs, _, (v, f) = _mesh_face_arrays(
+            shape.mesh, shape.transform
+        )
         mat = shape.material
         if shape.face_materials is not None:
             mat = np.asarray(shape.face_materials, np.int32)
@@ -197,13 +225,13 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
                 f"face_materials has {mat.shape[0]} entries for "
                 f"{p0.shape[0]} faces"
             )
-        add_tris(p0, e1, e2, sn, uvs, mat, -1)
+        add_tris(p0, e1, e2, sn, uvs, mat, -1, add_verts(v, f))
 
     # --- area lights: light table + (optionally) emissive hittable geometry ---
     lt = {k: [] for k in ("v0", "e1", "e2", "normal", "radiance", "area", "two_sided")}
     light_row = 0
     for al in scene_spec.area_lights:
-        p0, e1, e2, gn, sn, uvs, area = _mesh_face_arrays(al.mesh)
+        p0, e1, e2, gn, sn, uvs, area, (v, f) = _mesh_face_arrays(al.mesh)
         n = p0.shape[0]
         lt["v0"].append(p0)
         lt["e1"].append(e1)
@@ -218,7 +246,8 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
                 S.MaterialSpec(type="emissive", albedo=(0, 0, 0), emission=al.radiance)
             )
             add_tris(p0, e1, e2, sn, uvs, mat_id,
-                     np.arange(light_row, light_row + n, dtype=np.int32))
+                     np.arange(light_row, light_row + n, dtype=np.int32),
+                     add_verts(v, f))
         light_row += n
 
     # --- concatenate + pad triangles ---
@@ -231,6 +260,7 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
             **{k: np.zeros((0, 2), np.float32) for k in ("uv0", "uv1", "uv2")},
             "mat": np.zeros((0,), np.int32),
             "light": np.zeros((0,), np.int32),
+            "face_vi": np.zeros((0, 3), np.int32),
         }
     num_tris = tri["v0"].shape[0]
     T = bucket_size(num_tris, 128)
@@ -245,6 +275,15 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
     perm = accel["perm"]
     tri = {k: v[perm] for k, v in tri.items()}
     tri_mask = tri_mask[perm]
+
+    # --- shared vertex buffer (padded) ---
+    verts = (
+        np.concatenate(vert_chunks, axis=0).astype(np.float32)
+        if vert_chunks
+        else np.zeros((0, 3), np.float32)
+    )
+    Vp = bucket_size(max(verts.shape[0], 1), 128)
+    mesh_vertices = pad_to(verts, Vp)
 
     # --- spheres ---
     ns = len(scene_spec.spheres)
@@ -273,7 +312,11 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
         mat_type[i] = S.MATERIAL_TYPES[m.type]
         mat_albedo[i] = m.albedo
         mat_emission[i] = m.emission
-        mat_fuzz[i] = m.fuzz
+        # the fuzz column is type-overloaded: metal roughness OR Phong
+        # exponent for glossy (a material has exactly one of the two)
+        mat_fuzz[i] = (
+            getattr(m, "exponent", 32.0) if m.type == "glossy" else m.fuzz
+        )
         mat_ior[i] = m.ior
         mat_tex[i] = m.texture_id
 
@@ -347,6 +390,8 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
         tri_mat=jnp.asarray(np.clip(tri["mat"], 0, M - 1)),
         tri_light=jnp.asarray(tri["light"]),
         tri_mask=jnp.asarray(tri_mask),
+        mesh_vertices=jnp.asarray(mesh_vertices),
+        tri_face_vi=jnp.asarray(np.clip(tri["face_vi"], 0, Vp - 1)),
         sph_center=jnp.asarray(sph_center),
         sph_radius=jnp.asarray(sph_radius),
         sph_velocity=jnp.asarray(sph_velocity),

@@ -51,3 +51,43 @@ def test_dark_without_emission():
     img = np.asarray(render_image(cs.scene, cs.camera, 32, 32, 8,
                                   jax.random.key(5), CFG))
     assert img.max() == 0.0  # no light source anywhere
+
+
+def test_sphere_light_mis_unbiased_and_lower_variance():
+    """Round-4 upgrade (VERDICT #6): cone-sampled NEE + power-2 MIS against
+    BSDF sampling. Oracle: MIS and NEE-only estimators must agree in the
+    mean (unbiasedness), and for a LARGE emissive sphere over a lambert
+    floor the MIS estimator's pixel variance must not exceed NEE-only's."""
+    floor = S.make_rect_mesh((-6, 0, 6), (6, 0, 6), (6, 0, -6), (-6, 0, -6))
+    spec = S.SceneSpec(
+        camera=S.CameraSpec(position=(0.0, 1.2, 5.0), direction=(0.0, -0.25, -1.0),
+                            fov=55.0, fov_convention="standard"),
+        materials=[S.MaterialSpec(albedo=(0.7, 0.7, 0.7)),
+                   S.MaterialSpec(type="emissive", emission=(6.0, 6.0, 6.0))],
+        shapes=[S.ShapeSpec(floor, 0)],
+        spheres=[S.SphereSpec(center=(0.0, 2.2, 0.0), radius=1.6, material=1)],
+    )
+    cs = compile_scene(spec)
+    cfg_mis = PathTracerConfig(max_depth=3, rr_enable=False, backend="jnp",
+                               mis=True)
+    cfg_nee = PathTracerConfig(max_depth=3, rr_enable=False, backend="jnp",
+                               mis=False)
+
+    def renders(cfg, seeds=6, spp=24):
+        return np.stack([
+            np.asarray(render_image(cs.scene, cs.camera, 24, 24, spp,
+                                    jax.random.key(s), cfg))
+            for s in range(seeds)
+        ])
+
+    r_mis = renders(cfg_mis)
+    r_nee = renders(cfg_nee)
+    assert np.isfinite(r_mis).all() and np.isfinite(r_nee).all()
+    m_mis, m_nee = r_mis.mean(), r_nee.mean()
+    # unbiasedness: the two estimators target the same integral
+    np.testing.assert_allclose(m_mis, m_nee, rtol=0.05)
+    # variance: per-pixel std over seeds, averaged over the lit floor
+    lit = r_mis.mean(0).sum(-1) > 0.05
+    v_mis = r_mis.std(axis=0).sum(-1)[lit].mean()
+    v_nee = r_nee.std(axis=0).sum(-1)[lit].mean()
+    assert v_mis <= v_nee * 1.05, (v_mis, v_nee)
