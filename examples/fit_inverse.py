@@ -2,10 +2,15 @@
 gradient descent through the path tracer (BASELINE.md north-star capability;
 the reference is forward-only).
 
-Runs two fits on the device mesh (all visible devices):
+Runs three fits on the device mesh (all visible devices):
   1. material:  spot's albedo, perturbed to green, recovered;
   2. geometry:  a floor displaced 0.25 upward, pulled back by pixel
-                gradients.
+                gradients;
+  3. mesh vertices: spot's SHARED vertex buffer (scene.mesh_vertices,
+                BASELINE.md "recover spot vertices"), displaced and
+                recovered on the default (Pallas on TPU) backend —
+                apply_params refreshes the cluster AABBs every step so
+                the moved geometry stays visible to the culling pass.
 
 Usage:
     python examples/fit_inverse.py [out_prefix]
@@ -106,6 +111,40 @@ def fit_geometry(prefix, mesh, cfg, W=32, H=32):
     print(f"  mean vertex error: {d_b:.4f} -> {d_a:.4f}")
 
 
+def fit_spot_vertices(prefix, mesh, cfg, W=48, H=48):
+    print("[3/3] vertex recovery: spot mesh_vertices (shared buffer)")
+    cs = compile_scene(assets.spot_scene(W, H))
+    scene, camera = cs.scene, cs.camera
+    render = lambda s, spp, seed: render_image_sharded(
+        s, camera, mesh, W, H, spp, jax.random.key(seed), cfg)
+    target = jax.block_until_ready(render(scene, 32, 7))
+    save(prefix, "verts_target", target)
+
+    true_mv = np.asarray(scene.mesh_vertices)
+    live = np.zeros(true_mv.shape[0], bool)
+    live[np.unique(np.asarray(scene.tri_face_vi)[np.asarray(scene.tri_mask)])] = True
+    # coherent displacement of the whole cow: the recovery signal is shading
+    # + silhouette-adjacent falloff; per-vertex gradients accumulate through
+    # every face sharing the vertex
+    pert = true_mv + np.where(live[:, None], [[0.06, 0.1, 0.0]], 0.0).astype(
+        np.float32
+    )
+    bad = inverse.apply_params(scene, {"mesh_vertices": jnp.asarray(pert)})
+    save(prefix, "verts_start", render(bad, 32, 8))
+
+    fitted, losses = inverse.fit(
+        bad, camera, target, ("mesh_vertices",), mesh,
+        steps=80, lr=1.5e-2, spp=8, key=jax.random.key(13), config=cfg,
+    )
+    save(prefix, "verts_fitted", render(fitted, 32, 9))
+    d_b = np.linalg.norm(pert - true_mv, axis=1)[live].mean()
+    d_a = np.linalg.norm(
+        np.asarray(fitted.mesh_vertices) - true_mv, axis=1
+    )[live].mean()
+    print(f"  loss: {losses[0]:.4f} -> {losses[-1]:.4f}")
+    print(f"  mean vertex error: {d_b:.4f} -> {d_a:.4f}")
+
+
 def main():
     prefix = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fit"
     cfg = PathTracerConfig(max_depth=2, rr_enable=False)
@@ -113,6 +152,7 @@ def main():
     print(f"devices: {len(jax.devices())} ({jax.default_backend()})")
     fit_albedo(prefix, mesh, cfg)
     fit_geometry(prefix, mesh, cfg)
+    fit_spot_vertices(prefix, mesh, cfg)
 
 
 if __name__ == "__main__":

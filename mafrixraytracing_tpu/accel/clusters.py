@@ -12,11 +12,9 @@ count-median split is used instead of Morton-code chunking because it
 produces near-disjoint clusters: far fewer clusters survive the per-ray-tile
 cull, which is the dominant cost of the Pallas intersector.
 
-The device-side consumers are:
-- `ops.intersect_pallas` — Pallas kernel with per-ray-tile cluster skipping.
-- `geometry.intersect_clustered` — jnp path that uses cluster AABB distances
-  to bound the search (used for correctness checks).
-
+The device-side consumer is `ops.intersect_pallas` — the two-phase
+cull + Pallas kernel; `geometry.intersect` provides the dense jnp
+reference path used for correctness checks (it ignores clusters).
 """
 from __future__ import annotations
 
