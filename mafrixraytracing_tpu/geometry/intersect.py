@@ -201,13 +201,14 @@ def find_closest(scene, rays: Rays, t_min, t_max, chunk=1024, times=None):
     t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (B,))
 
     tt, ti = _closest_tri(scene_sg, o, d, t_min, t_max, chunk)
-    st, si = _closest_sphere(scene_sg, o, d, t_min, t_max, times=times)
-    T = scene.tri_v0.shape[0]
-    use_sphere = st < tt
-    t = jnp.where(use_sphere, st, tt)
-    idx = jnp.where(use_sphere, T + si, ti)
-    idx = jnp.where(t < BIG, idx, -1)
-    return t, idx
+    if getattr(scene, "num_live_spheres", 1) > 0:
+        st, si = _closest_sphere(scene_sg, o, d, t_min, t_max, times=times)
+        T = scene.tri_v0.shape[0]
+        use_sphere = st < tt
+        tt = jnp.where(use_sphere, st, tt)
+        ti = jnp.where(use_sphere, T + si, ti)
+    idx = jnp.where(tt < BIG, ti, -1)
+    return tt, idx
 
 
 def hit_attributes(scene, rays: Rays, prim_idx: Array, t_hint: Array) -> Hit:
@@ -477,13 +478,15 @@ def hit_attributes_soa(scene, o, d, prim_idx: Array, t_hint: Array,
     is_sph = valid & (prim_idx >= T)
     if packed is None:
         packed = packed_attr_table(scene)
-    row = packed[jnp.clip(prim_idx, 0, P - 1)]  # (B, 36)
-    # unpack ONCE through an optimization barrier: the gathered row keeps a
-    # lane-padded {1,0} layout (36 -> 128, ~7x bytes), and without the
-    # barrier every consuming fusion re-slices (re-reads) the padded array;
-    # materializing the 36 dense (B,) columns in one pass makes every
-    # consumer read unpadded data
-    cols = lax.optimization_barrier(tuple(row[:, k] for k in range(PACKED_COLS)))
+    # ONE row gather + ONE Pallas transpose-unpack pass: the gathered
+    # (B, 36) rows carry a lane-padded {1,0} layout (36 -> 128, ~7x bytes)
+    # and XLA otherwise splits the 36 column slices into ~9 fusions that
+    # each re-read the whole padded array (~200 ms/iter at B=512k in the
+    # round-3 profile). See ops.unpack_pallas (falls back to barrier
+    # slices off-TPU / on odd batch sizes).
+    from mafrixraytracing_tpu.ops.unpack_pallas import fetch_cols
+
+    cols = fetch_cols(packed, jnp.clip(prim_idx, 0, P - 1))
     col = lambda k: cols[k]
     vec = lambda k: V3(cols[k], cols[k + 1], cols[k + 2])
 
@@ -508,35 +511,45 @@ def hit_attributes_soa(scene, o, d, prim_idx: Array, t_hint: Array,
     # --- sphere attributes (center in cols 0:3, radius col 3, velocity in
     # cols 6:9) — the center is time-shifted by velocity * time so moving
     # spheres (reference `MovingSphere`, `RayTracing.fs:210-253`) shade with
-    # on-surface hit points/normals, consistent with the time-shifted search
-    c = vec(0)
-    if times is not None:
-        c = c + vec(6) * times
-    r = col(3)
-    oc = o - c
-    b = v3.dot(oc, d)
-    disc = b * b - (v3.dot(oc, oc) - r * r)
-    sq = safe_sqrt(disc)
-    t0, t1 = -b - sq, -b + sq
-    th = lax.stop_gradient(t_hint)
-    t_sph = jnp.where(jnp.abs(t0 - th) < jnp.abs(t1 - th), t0, t1)
-    inv_r = 1.0 / jnp.maximum(r, 1e-8)
-    n_sph = (o + d * t_sph - c) * inv_r
-    deg = (n_sph.x * n_sph.x + n_sph.z * n_sph.z) < 1e-12
-    phi = jnp.arctan2(n_sph.z, jnp.where(deg, 1.0, n_sph.x))
-    theta = jnp.arccos(jnp.clip(n_sph.y, -1.0 + 1e-6, 1.0 - 1e-6))
-    uu_sph = 0.5 + phi / (2.0 * jnp.pi)
-    vv_sph = theta / jnp.pi
+    # on-surface hit points/normals, consistent with the time-shifted
+    # search. Statically skipped for sphere-free scenes (the quadratic +
+    # arctan/arccos are dead weight per lane per bounce there).
+    has_sph = scene.num_live_spheres > 0
+    if has_sph:
+        c = vec(0)
+        if times is not None:
+            c = c + vec(6) * times
+        r = col(3)
+        oc = o - c
+        b = v3.dot(oc, d)
+        disc = b * b - (v3.dot(oc, oc) - r * r)
+        sq = safe_sqrt(disc)
+        t0, t1 = -b - sq, -b + sq
+        th = lax.stop_gradient(t_hint)
+        t_sph = jnp.where(jnp.abs(t0 - th) < jnp.abs(t1 - th), t0, t1)
+        inv_r = 1.0 / jnp.maximum(r, 1e-8)
+        n_sph = (o + d * t_sph - c) * inv_r
+        deg = (n_sph.x * n_sph.x + n_sph.z * n_sph.z) < 1e-12
+        phi = jnp.arctan2(n_sph.z, jnp.where(deg, 1.0, n_sph.x))
+        theta = jnp.arccos(jnp.clip(n_sph.y, -1.0 + 1e-6, 1.0 - 1e-6))
+        uu_sph = 0.5 + phi / (2.0 * jnp.pi)
+        vv_sph = theta / jnp.pi
 
-    # --- merge ---
-    t = jnp.where(is_tri, t_tri, jnp.where(is_sph, t_sph, 0.0))
-    point = o + d * t
-    geo_n = v3.where(is_tri, gn, n_sph)
-    shade_n = v3.where(is_tri, sn, n_sph)
-    front = v3.dot(geo_n, d) < 0.0
-    shade_n = shade_n * jnp.where(front, 1.0, -1.0)
-    uu = jnp.where(is_tri, uu_tri, uu_sph)
-    vv = jnp.where(is_tri, vv_tri, vv_sph)
+        # --- merge ---
+        t = jnp.where(is_tri, t_tri, jnp.where(is_sph, t_sph, 0.0))
+        point = o + d * t
+        geo_n = v3.where(is_tri, gn, n_sph)
+        shade_n = v3.where(is_tri, sn, n_sph)
+        front = v3.dot(geo_n, d) < 0.0
+        shade_n = shade_n * jnp.where(front, 1.0, -1.0)
+        uu = jnp.where(is_tri, uu_tri, uu_sph)
+        vv = jnp.where(is_tri, vv_tri, vv_sph)
+    else:
+        t = jnp.where(is_tri, t_tri, 0.0)
+        point = o + d * t
+        front = v3.dot(gn, d) < 0.0
+        shade_n = sn * jnp.where(front, 1.0, -1.0)
+        uu, vv = uu_tri, vv_tri
 
     hit = HitS(
         valid=valid,
@@ -574,14 +587,20 @@ def hit_attributes_soa(scene, o, d, prim_idx: Array, t_hint: Array,
     # detached: a sampling pdf used only inside MIS weights (differentiating
     # it is not part of the reparameterized estimator, and on triangle rows
     # the r/c columns hold unrelated data whose sqrt-at-zero backward would
-    # emit NaN cotangents)
-    oc_l = jax.tree_util.tree_map(lax.stop_gradient, o - c)
-    dc2 = v3.dot(oc_l, oc_l)
-    r_sg = lax.stop_gradient(r)
-    sin2_max = r_sg * r_sg / jnp.maximum(dc2, 1e-12)
-    cos_max = jnp.sqrt(jnp.clip(1.0 - sin2_max, 0.0, 1.0))
-    cone_solid = 2.0 * jnp.pi * jnp.maximum(1.0 - cos_max, 1e-12)
-    light_pdf_sa = jnp.where(is_sph & (sin2_max < 1.0), 1.0 / cone_solid, 0.0)
+    # emit NaN cotangents). Statically skipped when the scene has no sphere
+    # lights (the table shape is compile-time known).
+    if has_sph and scene.slight_center.shape[0] > 0:
+        oc_l = jax.tree_util.tree_map(lax.stop_gradient, o - c)
+        dc2 = v3.dot(oc_l, oc_l)
+        r_sg = lax.stop_gradient(r)
+        sin2_max = r_sg * r_sg / jnp.maximum(dc2, 1e-12)
+        cos_max = jnp.sqrt(jnp.clip(1.0 - sin2_max, 0.0, 1.0))
+        cone_solid = 2.0 * jnp.pi * jnp.maximum(1.0 - cos_max, 1e-12)
+        light_pdf_sa = jnp.where(
+            is_sph & (sin2_max < 1.0), 1.0 / cone_solid, 0.0
+        )
+    else:
+        light_pdf_sa = jnp.zeros_like(t)
 
     sh = ShadingS(
         albedo=albedo,

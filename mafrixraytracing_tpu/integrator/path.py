@@ -357,7 +357,9 @@ def _trace_physical(scene, rays, keys, config, times=None):
 
         # --- next-event estimation ---
         if config.nee:
-            wo = -d
+            # wo enables the glossy lobe inside eval_bsdf; statically omit
+            # it for glossy-free scenes (saves two pow's/lane per NEE eval)
+            wo = -d if scene.has_glossy else None
             direct = (
                 nee_area_soa(scene, hit, bkey, occluded_fn, config.mis, sh,
                              wo=wo)
@@ -367,8 +369,11 @@ def _trace_physical(scene, rays, keys, config, times=None):
             )
             rad = rad + v3.where(alive, thr * direct, zero)
 
-        # --- BSDF sample & bounce ---
-        bs = sample_bsdf_soa(sh, hit, -d, bkey)
+        # --- BSDF sample & bounce (lobes statically pruned to the scene's
+        # material set — spot collapses to the pure-lambert shader) ---
+        bs = sample_bsdf_soa(sh, hit, -d, bkey, glossy=scene.has_glossy,
+                             metal=scene.has_metal,
+                             dielectric=scene.has_dielectric)
         thr = thr * bs.weight
         alive = alive & bs.valid & ((thr.x > 0.0) | (thr.y > 0.0) | (thr.z > 0.0))
 

@@ -257,18 +257,21 @@ class BsdfSampleS(NamedTuple):
     valid: "jnp.ndarray"
 
 
-def sample_bsdf_soa(sh, hit, wo: V3, key, uniform_lambert: bool = False) -> BsdfSampleS:
+def sample_bsdf_soa(sh, hit, wo: V3, key, uniform_lambert: bool = False,
+                    glossy: bool = True, metal: bool = True,
+                    dielectric: bool = True) -> BsdfSampleS:
     """SoA `sample_bsdf`: identical math on flat components (no (B,3)
-    arrays; see core.v3 for why)."""
+    arrays; see core.v3 for why). The `glossy`/`metal`/`dielectric` flags
+    statically skip whole lobes the scene cannot contain — pass the
+    `scene.has_*` capability flags; with all of them False this collapses
+    to the pure-lambert shader (the spot bench case)."""
     from mafrixraytracing_tpu.core import rng
 
     n = hit.normal
     d = -wo
     u_l = rng.uniforms(key, 0, (2,))
-    u_f = rng.uniforms(key, 1, (3,))
-    u_c = rng.uniforms(key, 2)
 
-    # --- lambert ---
+    # --- lambert (the base lobe every scene has) ---
     if uniform_lambert:
         wi_lam = uniform_hemisphere_soa(u_l, n)
         cos_lam = jnp.maximum(v3.dot(wi_lam, n), 0.0)
@@ -279,56 +282,69 @@ def sample_bsdf_soa(sh, hit, wo: V3, key, uniform_lambert: bool = False) -> Bsdf
         cos_lam = jnp.maximum(v3.dot(wi_lam, n), 0.0)
         w_lam = sh.albedo
 
-    # --- metal ---
-    refl = v3.reflect(d, n)
-    wi_met = v3.normalize(refl + fuzz_sphere_soa(u_f) * sh.fuzz)
-    met_ok = v3.dot(wi_met, n) > 0.0
+    wi, weight, pdf = wi_lam, w_lam, pdf_lam
+    valid = cos_lam > 0.0
+    specular = jnp.zeros_like(valid)
+    if metal or glossy:
+        refl = v3.reflect(d, n)
 
-    # --- dielectric ---
-    cos_i = jnp.clip(-v3.dot(d, n), 0.0, 1.0)
-    eta_i = jnp.where(hit.front_face, 1.0, sh.ior)
-    eta_t = jnp.where(hit.front_face, sh.ior, 1.0)
-    fr = fresnel_dielectric(cos_i, eta_i, eta_t)
-    ref_ok, refr = v3.refract(d, n, eta_i / eta_t)
-    refr = v3.normalize(refr)
-    choose_reflect = (u_c < fr) | ~ref_ok
-    wi_die = v3.where(choose_reflect, v3.reflect(d, n), refr)
-    # refracted branch carries (eta_t/eta_i)^2 — the reference's
-    # `(et^2/ei^2)(1-F)T/|cos|` transmission weight (`Material.fs:103-118`)
-    # with the RR'd (1-F) and the delta cos fold cancelled (see sample_bsdf)
-    eta_scale = jnp.where(choose_reflect, 1.0, (eta_t / eta_i) ** 2)
+    # --- metal (mirror + fuzz, reference `Material.fs:58-72`) ---
+    if metal:
+        u_f = rng.uniforms(key, 1, (3,))
+        is_met = sh.mtype == METAL
+        wi_met = v3.normalize(refl + fuzz_sphere_soa(u_f) * sh.fuzz)
+        met_ok = v3.dot(wi_met, n) > 0.0
+        wi = v3.where(is_met, wi_met, wi)
+        weight = v3.where(is_met, sh.albedo, weight)
+        pdf = jnp.where(is_met, 1.0, pdf)
+        valid = jnp.where(is_met, met_ok, valid)
+        specular = specular | is_met
+
+    # --- dielectric (Fresnel RR reflect/refract) ---
+    if dielectric:
+        u_c = rng.uniforms(key, 2)
+        is_die = sh.mtype == DIELECTRIC
+        cos_i = jnp.clip(-v3.dot(d, n), 0.0, 1.0)
+        eta_i = jnp.where(hit.front_face, 1.0, sh.ior)
+        eta_t = jnp.where(hit.front_face, sh.ior, 1.0)
+        fr = fresnel_dielectric(cos_i, eta_i, eta_t)
+        ref_ok, refr = v3.refract(d, n, eta_i / eta_t)
+        refr = v3.normalize(refr)
+        choose_reflect = (u_c < fr) | ~ref_ok
+        wi_die = v3.where(choose_reflect, v3.reflect(d, n), refr)
+        # refracted branch carries (eta_t/eta_i)^2 — the reference's
+        # `(et^2/ei^2)(1-F)T/|cos|` transmission weight
+        # (`Material.fs:103-118`) with the RR'd (1-F) and the delta cos
+        # fold cancelled (see sample_bsdf)
+        eta_scale = jnp.where(choose_reflect, 1.0, (eta_t / eta_i) ** 2)
+        wi = v3.where(is_die, wi_die, wi)
+        weight = v3.where(is_die, sh.albedo * eta_scale, weight)
+        pdf = jnp.where(is_die, 1.0, pdf)
+        valid = jnp.where(is_die, True, valid)
+        specular = specular | is_die
 
     # --- glossy Phong lobe (see sample_bsdf) ---
-    from mafrixraytracing_tpu.core.sampling import _local_to_world_soa
+    if glossy:
+        from mafrixraytracing_tpu.core.sampling import _local_to_world_soa
 
-    exp_g = jnp.maximum(sh.fuzz, 1.0)
-    cos_a = jnp.clip(u_l[..., 0], 1e-6, 1.0) ** (1.0 / (exp_g + 1.0))
-    sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
-    phi_g = 2.0 * jnp.pi * u_l[..., 1]
-    wi_glo = _local_to_world_soa(
-        sin_a * jnp.cos(phi_g), sin_a * jnp.sin(phi_g), cos_a, refl
-    )
-    cos_glo = v3.dot(wi_glo, n)
-    pdf_glo = (exp_g + 1.0) / (2.0 * jnp.pi) * cos_a**exp_g
-    w_glo = sh.albedo * (
-        (exp_g + 2.0) / (exp_g + 1.0) * jnp.maximum(cos_glo, 0.0)
-    )
+        is_glo = sh.mtype == GLOSSY
+        exp_g = jnp.maximum(sh.fuzz, 1.0)
+        cos_a = jnp.clip(u_l[..., 0], 1e-6, 1.0) ** (1.0 / (exp_g + 1.0))
+        sin_a = jnp.sqrt(jnp.maximum(1.0 - cos_a * cos_a, 0.0))
+        phi_g = 2.0 * jnp.pi * u_l[..., 1]
+        wi_glo = _local_to_world_soa(
+            sin_a * jnp.cos(phi_g), sin_a * jnp.sin(phi_g), cos_a, refl
+        )
+        cos_glo = v3.dot(wi_glo, n)
+        pdf_glo = (exp_g + 1.0) / (2.0 * jnp.pi) * cos_a**exp_g
+        w_glo = sh.albedo * (
+            (exp_g + 2.0) / (exp_g + 1.0) * jnp.maximum(cos_glo, 0.0)
+        )
+        wi = v3.where(is_glo, wi_glo, wi)
+        weight = v3.where(is_glo, w_glo, weight)
+        pdf = jnp.where(is_glo, pdf_glo, pdf)
+        valid = jnp.where(is_glo, cos_glo > 0.0, valid)
 
-    is_lam = sh.mtype == LAMBERT
-    is_met = sh.mtype == METAL
-    is_die = sh.mtype == DIELECTRIC
-    is_glo = sh.mtype == GLOSSY
-
-    wi = v3.where(is_lam, wi_lam,
-                  v3.where(is_met, wi_met, v3.where(is_glo, wi_glo, wi_die)))
-    w_other = v3.where(is_die, sh.albedo * eta_scale,
-                       v3.where(is_glo, w_glo, sh.albedo))
-    weight = v3.where(is_lam, w_lam, w_other)
-    pdf = jnp.where(is_lam, pdf_lam, jnp.where(is_glo, pdf_glo, 1.0))
-    specular = is_met | is_die
-    valid = jnp.where(is_lam, cos_lam > 0.0,
-                      jnp.where(is_met, met_ok,
-                                jnp.where(is_glo, cos_glo > 0.0, is_die)))
     return BsdfSampleS(wi=wi, weight=weight, pdf=pdf, specular=specular, valid=valid)
 
 

@@ -610,19 +610,21 @@ def find_closest_soa(scene, o, d, t_min, t_max, interpret=None, times=None):
     tt = jnp.where(use_mega, mega_t, tt)
     ti = jnp.where(use_mega, mega_idx, ti)
 
-    # merge spheres (sphere tables are small)
-    ob = jax.tree_util.tree_map(lambda c: c[:B], o)
-    db = jax.tree_util.tree_map(lambda c: c[:B], d)
-    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (B,))
-    st, si = _closest_sphere_soa(scene, ob, db, t_min_b, t_max_arr,
-                                 times=None if times is None
-                                 else lax.stop_gradient(times))
-    T = scene.tri_v0.shape[0]
-    use_sphere = st < tt
-    t = jnp.where(use_sphere, st, tt)
-    idx = jnp.where(use_sphere, T + si, ti)
-    idx = jnp.where(t < BIG, idx, -1)
-    return t, idx
+    # merge spheres (sphere tables are small; statically skipped when the
+    # scene has none — the (B, Sp) temps lane-pad Sp -> 128 otherwise)
+    if scene.num_live_spheres > 0:
+        ob = jax.tree_util.tree_map(lambda c: c[:B], o)
+        db = jax.tree_util.tree_map(lambda c: c[:B], d)
+        t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (B,))
+        st, si = _closest_sphere_soa(scene, ob, db, t_min_b, t_max_arr,
+                                     times=None if times is None
+                                     else lax.stop_gradient(times))
+        T = scene.tri_v0.shape[0]
+        use_sphere = st < tt
+        tt = jnp.where(use_sphere, st, tt)
+        ti = jnp.where(use_sphere, T + si, ti)
+    idx = jnp.where(tt < BIG, ti, -1)
+    return tt, idx
 
 
 def find_closest(scene, rays, t_min, t_max, interpret=None):
@@ -647,13 +649,15 @@ def occluded_soa(scene, o, d, t_min, t_max, interpret=None, times=None):
     )
     occ = _search_any(tri_pack, lists, counts, entries, rays8, interpret)
     occ = occ[:B] | (mega_idx[:B] >= 0)
-    ob = jax.tree_util.tree_map(lambda c: c[:B], o)
-    db = jax.tree_util.tree_map(lambda c: c[:B], d)
-    t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (B,))
-    st, _ = _closest_sphere_soa(scene, ob, db, t_min_b, t_max_arr,
-                                times=None if times is None
-                                else lax.stop_gradient(times))
-    return occ | (st < BIG)
+    if scene.num_live_spheres > 0:
+        ob = jax.tree_util.tree_map(lambda c: c[:B], o)
+        db = jax.tree_util.tree_map(lambda c: c[:B], d)
+        t_min_b = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (B,))
+        st, _ = _closest_sphere_soa(scene, ob, db, t_min_b, t_max_arr,
+                                    times=None if times is None
+                                    else lax.stop_gradient(times))
+        occ = occ | (st < BIG)
+    return occ
 
 
 def occluded(scene, rays, t_min, t_max, interpret=None):

@@ -101,6 +101,15 @@ class ScenePytree(struct.PyTreeNode):
     # path skip the per-bounce texture gather entirely for untextured
     # scenes (a (B,)-indexed gather costs ~3 ms at B=512k).
     has_textures: bool = struct.field(pytree_node=False, default=False)
+    # static material/shape capability flags: the hot shader and the
+    # intersectors statically skip whole branches the scene cannot need
+    # (e.g. the spot bench is lambert-only with zero spheres — the metal
+    # fuzz sampling, dielectric Fresnel, AND the (B, Sp) sphere tests —
+    # whose (B, 8) temps lane-pad 8 -> 128 — are all dead weight there).
+    has_glossy: bool = struct.field(pytree_node=False, default=False)
+    has_metal: bool = struct.field(pytree_node=False, default=True)
+    has_dielectric: bool = struct.field(pytree_node=False, default=True)
+    num_live_spheres: int = struct.field(pytree_node=False, default=0)
     # static: number of live mega triangles. The dense prepass computes
     # (B, n) planes; slicing to the real count instead of MAX_MEGA=32 cuts
     # its lane-padded traffic (32 -> 128 lanes regardless, but fewer rows
@@ -426,6 +435,10 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
         cluster_max=jnp.asarray(accel["cluster_max"]),
         mega_ids=jnp.asarray(accel["mega_ids"]),
         has_textures=bool((mat_tex >= 0).any()),
+        has_glossy=bool((mat_type == S.MATERIAL_TYPES["glossy"]).any()),
+        has_metal=bool((mat_type == S.MATERIAL_TYPES["metal"]).any()),
+        has_dielectric=bool((mat_type == S.MATERIAL_TYPES["dielectric"]).any()),
+        num_live_spheres=ns,
         num_mega=int((accel["mega_ids"] >= 0).sum()),
     )
 
