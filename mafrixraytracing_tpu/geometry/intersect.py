@@ -487,6 +487,10 @@ def hit_attributes_soa(scene, o, d, prim_idx: Array, t_hint: Array,
     from mafrixraytracing_tpu.ops.unpack_pallas import fetch_cols
 
     cols = fetch_cols(packed, jnp.clip(prim_idx, 0, P - 1))
+    # checkpoint-named so a remat policy may SAVE the fetched columns and
+    # skip the gather+unpack in the rematted recompute (integrator.path
+    # opts in via PathTracerConfig.save_attrs; ~75 MB/bounce/spp-step)
+    cols = tuple(checkpoint_name(c, f"attr{k}") for k, c in enumerate(cols))
     col = lambda k: cols[k]
     vec = lambda k: V3(cols[k], cols[k + 1], cols[k + 2])
 

@@ -77,6 +77,10 @@ class PathTracerConfig:
                                 # backward-pass HBM is O(spp*depth) hit records
                                 # (not activations) and the traversal kernels
                                 # never re-run in the backward pass
+    save_attrs: bool = True     # also save the 36 fetched attribute columns
+                                # so the rematted recompute skips the packed
+                                # row gather + unpack (~144 B/ray/bounce of
+                                # residents; disable for very long spp scans)
     motion_blur: bool = False   # sample a shutter time per camera ray and
                                 # intersect moving spheres at it (the
                                 # reference's MovingSphere sample,
@@ -118,8 +122,16 @@ def _intersect(scene, rays, config, alive=None):
 # non-differentiable, so this makes the backward pass cost O(shading), not
 # O(traversal), while residual memory stays at ~9 bytes/ray/bounce instead
 # of full activations.
-SAVE_ISECT = jax.checkpoint_policies.save_only_these_names(
-    "isect_t", "isect_idx", "occluded", "tex_r", "tex_g", "tex_b"
+ISECT_SAVE_NAMES = ("isect_t", "isect_idx", "occluded",
+                    "tex_r", "tex_g", "tex_b")
+ATTR_SAVE_NAMES = tuple(f"attr{k}" for k in range(36))
+SAVE_ISECT = jax.checkpoint_policies.save_only_these_names(*ISECT_SAVE_NAMES)
+# + the 36 fetched attribute columns: skips the gather + Pallas unpack in
+# the rematted recompute at ~144 B/ray/bounce of extra residents — right
+# for moderate spp-scan lengths (the bench), wrong for very long ones
+# (Renault @ 256 spp); selected via PathTracerConfig.save_attrs.
+SAVE_ISECT_ATTRS = jax.checkpoint_policies.save_only_these_names(
+    *(ISECT_SAVE_NAMES + ATTR_SAVE_NAMES)
 )
 
 
@@ -684,7 +696,8 @@ def render_image(
         return tuple(a + rad[:, i] for i, a in enumerate(acc)), None
 
     if config.remat:
-        one_group = jax.checkpoint(one_group, policy=SAVE_ISECT, prevent_cse=False)
+        policy = SAVE_ISECT_ATTRS if config.save_attrs else SAVE_ISECT
+        one_group = jax.checkpoint(one_group, policy=policy, prevent_cse=False)
     acc, _ = lax.scan(
         one_group,
         tuple(jnp.zeros((B,), jnp.float32) for _ in range(3)),

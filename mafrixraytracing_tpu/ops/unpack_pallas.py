@@ -34,7 +34,7 @@ import jax.experimental.pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 COLS = 36
-UNROWS = 1024  # rays per grid step; out blocks are (UNROWS/128, 128)
+UNROWS = 4096  # rays per grid step; out blocks are (UNROWS/128, 128)
 
 
 def _unpack_kernel(rows_ref, *outs):
