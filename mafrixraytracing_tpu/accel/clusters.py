@@ -24,6 +24,14 @@ import numpy as np
 # against one ray tile (lanes) as a single (128, 128) vector op.
 CLUSTER_SIZE = 128
 
+# Two-level hierarchy: SUPER consecutive clusters form one supercluster
+# (the median-split layout keeps consecutive clusters spatially coherent,
+# so parent AABBs stay tight). Large scenes cull rays against the (B, S)
+# supercluster slabs instead of the (B, C) cluster slabs — a 16x smaller
+# dense pass — and the kernel refines each surviving supercluster against
+# its 16 child cluster AABBs in VMEM (`ops.intersect_pallas`).
+SUPER = 16
+
 # "Mega" triangles (ground planes, room walls): any triangle whose AABB
 # diagonal exceeds MEGA_FRAC of the scene diagonal would blow up its
 # cluster's AABB so badly that every ray tests the whole cluster. They are
@@ -140,12 +148,35 @@ def build_clusters(v0: np.ndarray, e1: np.ndarray, e2: np.ndarray, mask: np.ndar
     if n_mega:
         mega_ids[:n_mega] = np.arange(n_valid - n_mega, n_valid, dtype=np.int32)
 
+    super_min, super_max = _super_bounds_np(cluster_min, cluster_max)
+
     return {
         "perm": perm,
         "cluster_min": cluster_min.astype(np.float32),
         "cluster_max": cluster_max.astype(np.float32),
+        "super_min": super_min,
+        "super_max": super_max,
         "mega_ids": mega_ids,
     }
+
+
+def _super_bounds_np(cluster_min: np.ndarray, cluster_max: np.ndarray):
+    """Group SUPER consecutive clusters into supercluster AABBs (host).
+    Empty children (min > max) keep the union correct because their
+    sentinels are +-3e38; an all-empty supercluster stays min > max."""
+    C = cluster_min.shape[0]
+    S = (C + SUPER - 1) // SUPER
+    pad = S * SUPER - C
+    if pad:
+        cluster_min = np.concatenate(
+            [cluster_min, np.full((pad, 3), _EMPTY_MIN, np.float32)]
+        )
+        cluster_max = np.concatenate(
+            [cluster_max, np.full((pad, 3), _EMPTY_MAX, np.float32)]
+        )
+    smin = cluster_min.reshape(S, SUPER, 3).min(axis=1).astype(np.float32)
+    smax = cluster_max.reshape(S, SUPER, 3).max(axis=1).astype(np.float32)
+    return smin, smax
 
 
 def refresh_clusters(scene):
@@ -174,4 +205,14 @@ def refresh_clusters(scene):
     k = v0.shape[0] // C
     cmin = tmin.reshape(C, k, 3).min(axis=1)
     cmax = tmax.reshape(C, k, 3).max(axis=1)
-    return scene.replace(cluster_min=cmin, cluster_max=cmax)
+    # supercluster bounds follow their children (padded to SUPER groups)
+    S = scene.super_min.shape[0]
+    pad = S * SUPER - C
+    pmin = jnp.concatenate(
+        [cmin, jnp.full((pad, 3), _EMPTY_MIN)]) if pad else cmin
+    pmax = jnp.concatenate(
+        [cmax, jnp.full((pad, 3), _EMPTY_MAX)]) if pad else cmax
+    smin = pmin.reshape(S, SUPER, 3).min(axis=1)
+    smax = pmax.reshape(S, SUPER, 3).max(axis=1)
+    return scene.replace(cluster_min=cmin, cluster_max=cmax,
+                         super_min=smin, super_max=smax)

@@ -669,41 +669,75 @@ def render_image(
     time is O(1) in spp."""
     B = width * height
     G = _spp_group(spp, B, config.wavefront)
+    # large frames are CHUNKED over the pixel axis so one wavefront never
+    # exceeds ~config.wavefront rays (a 1024^2 frame would otherwise carry
+    # 1M-ray buffers through every bounce and OOM at high spp — the
+    # BASELINE Renault config needs this); each scan step renders one
+    # (pixel-chunk, spp-group) pair.
+    n_chunks = max(1, -(-B // config.wavefront)) if G == 1 else 1
+    from mafrixraytracing_tpu.ops.intersect_pallas import TILE as _TILE
+
+    Bc = -(-B // n_chunks)
+    Bc = -(-Bc // _TILE) * _TILE
+    B_pad = n_chunks * Bc
     px, py = make_pixel_uv(width, height)
     perm, inv = tiled_pixel_order(width, height, *_spp_tile_shape(G))
     px, py = px[perm], py[perm]  # tile-swizzled ray order (see tiled_pixel_order)
-    base_keys = rng.pixel_keys(key, B)
+    if B_pad != B:
+        # pad with repeated pixels (rendered, then dropped at the end)
+        reps = jnp.arange(B_pad - B) % B
+        px = jnp.concatenate([px, px[reps]])
+        py = jnp.concatenate([py, py[reps]])
+    base_keys = rng.pixel_keys(key, B_pad)
     # interleave: a pixel's G samples sit consecutively, so one TILE-ray
     # intersector tile covers only TILE/G distinct pixels — the tile frustum
     # shrinks to a ~2x2..4x4 pixel block and far fewer clusters survive the
     # cull (the dominant kernel cost is proportional to survivors)
     pxg, pyg = jnp.repeat(px, G), jnp.repeat(py, G)
 
-    def one_group(acc, g):
-        # acc is a flat 3-tuple of (B,) columns: (B, 3) scan carries get the
-        # padded default {1,0} layout (42x traffic; see _flatten_carry)
+    def one_group(acc, step):
+        # acc is a flat 3-tuple of (B_pad,) columns: (B, 3) scan carries get
+        # the padded default {1,0} layout (42x traffic; see _flatten_carry)
+        g = step // n_chunks
+        ci = step % n_chunks
+        off = ci * Bc
+        keys_c = lax.dynamic_slice_in_dim(base_keys, off, Bc)
+        px_c = lax.dynamic_slice_in_dim(pxg, off * G, Bc * G)
+        py_c = lax.dynamic_slice_in_dim(pyg, off * G, Bc * G)
         sidx = g * G + jnp.arange(G)
-        skeys = jax.vmap(lambda s: rng.sample_key(base_keys, s))(sidx)
-        skeys = jnp.swapaxes(skeys, 0, 1).reshape(B * G)  # pixel-major
+        skeys = jax.vmap(lambda s: rng.sample_key(keys_c, s))(sidx)
+        skeys = jnp.swapaxes(skeys, 0, 1).reshape(Bc * G)  # pixel-major
         jit_uv = rng.uniforms(skeys, 1000, (2,))
         lens_uv = rng.uniforms(skeys, 1001, (2,))
-        u = (pxg + jit_uv[:, 0]) / width
-        v = (pyg + jit_uv[:, 1]) / height
+        u = (px_c + jit_uv[:, 0]) / width
+        v = (py_c + jit_uv[:, 1]) / height
         rays = camera.get_rays(u, v, lens_uv=lens_uv)
         times = rng.uniforms(skeys, 1002) if config.motion_blur else None
         rad = trace_radiance(scene, rays, skeys, config, times=times)
-        rad = rad.reshape(B, G, 3).sum(axis=1)
-        return tuple(a + rad[:, i] for i, a in enumerate(acc)), None
+        rad = rad.reshape(Bc, G, 3).sum(axis=1)
+        acc = tuple(
+            lax.dynamic_update_slice_in_dim(
+                a, lax.dynamic_slice_in_dim(a, off, Bc) + rad[:, i], off, 0
+            )
+            for i, a in enumerate(acc)
+        )
+        return acc, None
 
     if config.remat:
-        policy = SAVE_ISECT_ATTRS if config.save_attrs else SAVE_ISECT
+        # saved attribute columns persist for the WHOLE scan:
+        # spp * depth * pixels * 144 bytes. Auto-fall back to the lean
+        # policy when that would not fit comfortably in HBM (e.g. Renault
+        # 1024^2 @ 256 spp would need ~184 GB).
+        attr_gb = spp * config.max_depth * B * 144 / 1e9
+        policy = (SAVE_ISECT_ATTRS if config.save_attrs and attr_gb <= 4.0
+                  else SAVE_ISECT)
         one_group = jax.checkpoint(one_group, policy=policy, prevent_cse=False)
     acc, _ = lax.scan(
         one_group,
-        tuple(jnp.zeros((B,), jnp.float32) for _ in range(3)),
-        jnp.arange(spp // G),
+        tuple(jnp.zeros((B_pad,), jnp.float32) for _ in range(3)),
+        jnp.arange((spp // G) * n_chunks),
     )
-    img = jnp.stack(acc, axis=1)[inv] / spp  # un-swizzle back to row-major
+    img = jnp.stack(acc, axis=1)[:B][inv] / spp  # un-swizzle to row-major
     return img.reshape(height, width, 3)
 
 

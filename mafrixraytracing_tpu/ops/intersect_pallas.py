@@ -47,7 +47,7 @@ import jax.experimental.pallas as pl
 from jax import lax
 from jax.experimental.pallas import tpu as pltpu
 
-from mafrixraytracing_tpu.accel.clusters import CLUSTER_SIZE
+from mafrixraytracing_tpu.accel.clusters import CLUSTER_SIZE, SUPER
 
 import os as _os
 
@@ -68,6 +68,15 @@ EXIT_CHECK = int(_os.environ.get("MFX_EXIT_CHECK", "8"))
                     # clusters between early-termination checks
 assert TILE % 8 == 0 and 8 <= TILE <= 128, f"MFX_TILE={TILE}: need a multiple of 8 in [8, 128]"
 assert EXIT_CHECK >= 1, f"MFX_EXIT_CHECK={EXIT_CHECK}: need >= 1"
+
+# Scenes with more than this many clusters cull rays at SUPERcluster
+# granularity ((B, S) slabs, 16x smaller) and let the kernel refine each
+# surviving supercluster against its child cluster AABBs in VMEM. Small
+# scenes keep the flat single-level walk: the per-child refinement costs a
+# scalar reduce per cluster, which only pays once the dense cull would
+# otherwise dominate. Env override exists so tests can force the two-level
+# path on tiny scenes.
+SUPER_MIN_C = int(_os.environ.get("MFX_SUPER_MIN_C", "128"))
 
 # t_min is baked into the kernel as a compile-time constant (fixed config
 # value; the reference's epsilon protocol `Integrators.fs:44,108`).
@@ -339,6 +348,170 @@ def _anyhit_kernel(list_ref, count_ref, entry_ref, ray_ref, tri_ref, occ_out):
     occ_out[:] = jnp.max(blocked, axis=1, keepdims=True)
 
 
+# ---------------------------------------------------------------------------
+# Two-level (supercluster) kernels — large scenes (C > SUPER_MIN_C)
+# ---------------------------------------------------------------------------
+
+
+def _cluster_refine_hits(ray_ref, bounds_ref, s, limit):
+    """(TILE, SUPER) bool: which child clusters of supercluster `s` some ray
+    could still hit within its per-ray `limit` (TILE, 1). One slab test of
+    the tile's rays against the 16 child AABBs held as component rows in
+    `bounds_ref` ((S*8, SUPER): [cminx; cminy; cminz; cmaxx; cmaxy; cmaxz;
+    live; pad] per supercluster). The entry comparison is INCLUSIVE — a flat
+    child has entry == exit == limit (the round-3 flat-cluster lesson)."""
+    bb = bounds_ref[pl.ds(pl.multiple_of(s * 8, 8), 8), :]  # (8, SUPER)
+    tn = jnp.full((TILE, SUPER), -BIG, jnp.float32)
+    tf = jnp.full((TILE, SUPER), BIG, jnp.float32)
+    for a in range(3):
+        oa = ray_ref[:, a : a + 1]
+        da = ray_ref[:, 3 + a : 4 + a]
+        safe = jnp.where(jnp.abs(da) > 1e-12, da,
+                         jnp.where(da >= 0, 1e-12, -1e-12))
+        r0 = pl.reciprocal(safe, approx=True)
+        inv = r0 * (2.0 - safe * r0)
+        t0 = (bb[a : a + 1, :] - oa) * inv
+        t1 = (bb[3 + a : 4 + a, :] - oa) * inv
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    live = bb[6:7, :] > 0.5
+    return live & (tn <= tf) & (tf > 0.0) & (tn <= limit)
+
+
+def _closest_super_kernel(
+    list_ref, count_ref, entry_ref, ray_ref, tri_ref, bounds_ref, t_out, i_out
+):
+    """Supercluster walk: like `_closest_kernel`, but each list entry is a
+    SUPERcluster; its 16 child clusters are slab-refined in VMEM and only
+    children some ray can hit run the (128 x 128) triangle test (guarded by
+    `lax.cond` on the per-child any-ray reduce)."""
+    r = pl.program_id(0) % GROUP
+    rc = tuple(ray_ref[:, i : i + 1] for i in range(6))
+    t_max = ray_ref[:, 6:7]
+    far = ray_ref[:, 7:8]
+    lanes = lax.broadcasted_iota(jnp.int32, (TILE, CLUSTER_SIZE), 1)
+    n = count_ref[r, 0]
+
+    def test_cluster(c, best_t, best_i):
+        t, valid = _mt_terms(rc, tri_ref, c)
+        valid = valid & (t > T_MIN_CONST) & (t < best_t)
+        new_t = jnp.where(valid, t, best_t)
+        new_i = jnp.where(valid, lanes + c * CLUSTER_SIZE, best_i)
+        return new_t, new_i
+
+    def super_body(state):
+        k, best_t, best_i = state
+        s = list_ref[r, k]
+        row_best = jnp.min(best_t, axis=1, keepdims=True)  # (TILE, 1)
+        chit = _cluster_refine_hits(ray_ref, bounds_ref, s, row_best)
+
+        # static unroll over the 16 children (lane slices must be static in
+        # Mosaic); each child's triangle test is guarded by a scalar
+        # any-ray cond so culled children cost one reduce, not a 128x128
+        # intersection pass
+        bb = (best_t, best_i)
+        for j in range(SUPER):
+            bb = lax.cond(
+                jnp.any(chit[:, j]),
+                lambda b, jj=j: test_cluster(s * SUPER + jj, *b),
+                lambda b: b,
+                bb,
+            )
+        best_t, best_i = bb
+        return k + 1, best_t, best_i
+
+    def super_cond(state):
+        k, best_t, _ = state
+        limit = jnp.minimum(jnp.min(best_t, axis=1, keepdims=True), far)
+        worst = jnp.max(limit)
+        return (k < n) & (entry_ref[r, jnp.minimum(k, n - 1)] <= worst)
+
+    init = (
+        jnp.int32(0),
+        jnp.broadcast_to(t_max, (TILE, CLUSTER_SIZE)),
+        jnp.full((TILE, CLUSTER_SIZE), -1, jnp.int32),
+    )
+    _, best_t, best_i = lax.while_loop(super_cond, super_body, init)
+    row_t = jnp.min(best_t, axis=1, keepdims=True)
+    row_i = jnp.min(
+        jnp.where(best_t <= row_t, best_i, jnp.int32(2**31 - 1)),
+        axis=1,
+        keepdims=True,
+    )
+    hit = row_t < t_max
+    t_out[:] = row_t
+    i_out[:] = jnp.where(hit, row_i, -1)
+
+
+def _anyhit_super_kernel(
+    list_ref, count_ref, entry_ref, ray_ref, tri_ref, bounds_ref, occ_out
+):
+    """Supercluster any-hit: child refinement + per-child `lax.cond`; exits
+    as soon as every live lane is blocked."""
+    r = pl.program_id(0) % GROUP
+    rc = tuple(ray_ref[:, i : i + 1] for i in range(6))
+    t_max = ray_ref[:, 6:7]
+    far = ray_ref[:, 7:8]
+    n = count_ref[r, 0]
+
+    def test_cluster(c, blocked):
+        t, valid = _mt_terms(rc, tri_ref, c)
+        hit = valid & (t > T_MIN_CONST) & (t < t_max)
+        return jnp.where(hit, jnp.int32(1), blocked)
+
+    def super_body(state):
+        k, blocked = state
+        s = list_ref[r, k]
+        # rays already blocked need no more tests: zero their limit
+        open_ = jnp.max(blocked, axis=1, keepdims=True) == 0
+        limit = jnp.where(open_, t_max, 0.0)
+        chit = _cluster_refine_hits(ray_ref, bounds_ref, s, limit)
+
+        # static unroll (see _closest_super_kernel)
+        for j in range(SUPER):
+            blocked = lax.cond(
+                jnp.any(chit[:, j]),
+                lambda bl, jj=j: test_cluster(s * SUPER + jj, bl),
+                lambda bl: bl,
+                blocked,
+            )
+        return k + 1, blocked
+
+    def super_cond(state):
+        k, blocked = state
+        row = jnp.max(blocked, axis=1, keepdims=True)
+        next_entry = entry_ref[r, jnp.minimum(k, n - 1)]
+        resolved = (row > 0) | (t_max <= T_MIN_CONST) | (far < next_entry)
+        return (k < n) & jnp.logical_not(jnp.all(resolved))
+
+    init = (jnp.int32(0), jnp.zeros((TILE, CLUSTER_SIZE), jnp.int32))
+    _, blocked = lax.while_loop(super_cond, super_body, init)
+    occ_out[:] = jnp.max(blocked, axis=1, keepdims=True)
+
+
+def pack_bounds(scene):
+    """(S*8, SUPER) component-major child-cluster AABBs for the two-level
+    kernels: rows s*8 .. s*8+7 hold [cminx; cminy; cminz; cmaxx; cmaxy;
+    cmaxz; live; pad] of supercluster s's 16 children across lanes. Empty
+    children carry +-3e38 sentinels (their slab overflows to +-inf and
+    passes — the live row masks them, as in `_cull`)."""
+    C = scene.cluster_min.shape[0]
+    S = scene.super_min.shape[0]
+    pad = S * SUPER - C
+    cmin, cmax = scene.cluster_min, scene.cluster_max
+    if pad:
+        cmin = jnp.concatenate([cmin, jnp.full((pad, 3), 3e38)], axis=0)
+        cmax = jnp.concatenate([cmax, jnp.full((pad, 3), -3e38)], axis=0)
+    live = (cmin[:, 0] <= cmax[:, 0]).astype(jnp.float32)
+    g_min = cmin.reshape(S, SUPER, 3).transpose(0, 2, 1)   # (S, 3, 16)
+    g_max = cmax.reshape(S, SUPER, 3).transpose(0, 2, 1)
+    g_live = live.reshape(S, 1, SUPER)
+    g_pad = jnp.zeros((S, 1, SUPER), jnp.float32)
+    return jnp.concatenate([g_min, g_max, g_live, g_pad], axis=1).reshape(
+        S * 8, SUPER
+    )
+
+
 def pack_tris(scene):
     """(C*16, 128) component-major packed triangle records: rows c*16+k hold
     component k of cluster c's 128 triangles across lanes. The 12 components
@@ -514,6 +687,58 @@ def _anyhit_impl(tri_pack, lists, counts, entries, rays8, interpret=False):
     return occ[:, 0] > 0
 
 
+@partial(jax.jit, static_argnames=("interpret",))
+def _closest_super_impl(tri_pack, bounds_pack, lists, counts, entries, rays8,
+                        interpret=False):
+    B = rays8.shape[0]
+    n_tiles = B // TILE
+    specs = _search_specs(n_tiles, lists.shape[1])
+    specs["in_specs"].append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    T = tri_pack.shape[0] // ROWS * CLUSTER_SIZE
+    t, i = pl.pallas_call(
+        _closest_super_kernel,
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=50 * B * T // 16, bytes_accessed=B * 64 + T * 64,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+        **specs,
+    )(lists, counts.reshape(-1, 1), entries, rays8, tri_pack, bounds_pack)
+    return t[:, 0], i[:, 0]
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def _anyhit_super_impl(tri_pack, bounds_pack, lists, counts, entries, rays8,
+                       interpret=False):
+    B = rays8.shape[0]
+    n_tiles = B // TILE
+    specs = _search_specs(n_tiles, lists.shape[1])
+    specs["in_specs"].append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    T = tri_pack.shape[0] // ROWS * CLUSTER_SIZE
+    (occ,) = pl.pallas_call(
+        _anyhit_super_kernel,
+        out_shape=[jax.ShapeDtypeStruct((B, 1), jnp.int32)],
+        out_specs=[
+            pl.BlockSpec((TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=45 * B * T // 32, bytes_accessed=B * 64 + T * 64,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+        **specs,
+    )(lists, counts.reshape(-1, 1), entries, rays8, tri_pack, bounds_pack)
+    return occ[:, 0] > 0
+
+
 # The search is non-differentiable by design (detached closest-hit
 # selection); declare identically-zero tangents so AD never tries to
 # differentiate through the pallas_call (its jvp rule is unimplemented, and
@@ -542,6 +767,36 @@ def _search_any(tri_pack, lists, counts, entries, rays8, interpret):
 @_search_any.defjvp
 def _search_any_jvp(interpret, primals, tangents):
     occ = _search_any(*primals, interpret)
+    import numpy as _np
+
+    return occ, _np.zeros(occ.shape, jax.dtypes.float0)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(6,))
+def _search_super(tri_pack, bounds_pack, lists, counts, entries, rays8,
+                  interpret):
+    return _closest_super_impl(tri_pack, bounds_pack, lists, counts, entries,
+                               rays8, interpret=interpret)
+
+
+@_search_super.defjvp
+def _search_super_jvp(interpret, primals, tangents):
+    t, i = _search_super(*primals, interpret)
+    import numpy as _np
+
+    return (t, i), (jnp.zeros_like(t), _np.zeros(i.shape, jax.dtypes.float0))
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(6,))
+def _search_any_super(tri_pack, bounds_pack, lists, counts, entries, rays8,
+                      interpret):
+    return _anyhit_super_impl(tri_pack, bounds_pack, lists, counts, entries,
+                              rays8, interpret=interpret)
+
+
+@_search_any_super.defjvp
+def _search_any_super_jvp(interpret, primals, tangents):
+    occ = _search_any_super(*primals, interpret)
     import numpy as _np
 
     return occ, _np.zeros(occ.shape, jax.dtypes.float0)
@@ -581,11 +836,21 @@ def _prep(scene, o, d, t_min, t_max, interpret, anyhit=False):
     else:
         t_max_k = jnp.minimum(t_max_p, mega_t)
 
-    lists, counts, entries, far = _cull(
-        o, d, t_max_k, scene.cluster_min, scene.cluster_max
-    )
+    # two-level path for large scenes: cull at SUPERcluster granularity
+    # (16x smaller dense pass; the kernel refines children in VMEM)
+    use_super = scene.cluster_min.shape[0] > SUPER_MIN_C
+    if use_super:
+        lists, counts, entries, far = _cull(
+            o, d, t_max_k, scene.super_min, scene.super_max
+        )
+        bounds = pack_bounds(scene)
+    else:
+        lists, counts, entries, far = _cull(
+            o, d, t_max_k, scene.cluster_min, scene.cluster_max
+        )
+        bounds = None
     rays8 = _pack_rays(o, d, t_max_k, far)
-    return (scene, pack_tris(scene), lists, counts, entries, rays8, B,
+    return (scene, pack_tris(scene), bounds, lists, counts, entries, rays8, B,
             t_max_arr, mega_t, mega_idx, interpret)
 
 
@@ -597,9 +862,13 @@ def find_closest_soa(scene, o, d, t_min, t_max, interpret=None, times=None):
     Non-differentiable by design."""
     from mafrixraytracing_tpu.geometry.intersect import _closest_sphere_soa
 
-    (scene, tri_pack, lists, counts, entries, rays8, B, t_max_arr,
+    (scene, tri_pack, bounds, lists, counts, entries, rays8, B, t_max_arr,
      mega_t, mega_idx, interpret) = _prep(scene, o, d, t_min, t_max, interpret)
-    tt, ti = _search(tri_pack, lists, counts, entries, rays8, interpret)
+    if bounds is not None:
+        tt, ti = _search_super(tri_pack, bounds, lists, counts, entries,
+                               rays8, interpret)
+    else:
+        tt, ti = _search(tri_pack, lists, counts, entries, rays8, interpret)
     tt, ti = tt[:B], ti[:B]
     mega_t, mega_idx = mega_t[:B], mega_idx[:B]
 
@@ -643,11 +912,15 @@ def occluded_soa(scene, o, d, t_min, t_max, interpret=None, times=None):
     entirely (their capped t_max empties the cluster list)."""
     from mafrixraytracing_tpu.geometry.intersect import _closest_sphere_soa
 
-    (scene, tri_pack, lists, counts, entries, rays8, B, t_max_arr,
+    (scene, tri_pack, bounds, lists, counts, entries, rays8, B, t_max_arr,
      mega_t, mega_idx, interpret) = _prep(
         scene, o, d, t_min, t_max, interpret, anyhit=True
     )
-    occ = _search_any(tri_pack, lists, counts, entries, rays8, interpret)
+    if bounds is not None:
+        occ = _search_any_super(tri_pack, bounds, lists, counts, entries,
+                                rays8, interpret)
+    else:
+        occ = _search_any(tri_pack, lists, counts, entries, rays8, interpret)
     occ = occ[:B] | (mega_idx[:B] >= 0)
     if scene.num_live_spheres > 0:
         ob = jax.tree_util.tree_map(lambda c: c[:B], o)

@@ -95,6 +95,8 @@ class ScenePytree(struct.PyTreeNode):
     # [c*CLUSTER_SIZE, (c+1)*CLUSTER_SIZE). Empty clusters have min > max. ---
     cluster_min: Array      # (C, 3)
     cluster_max: Array      # (C, 3)
+    super_min: Array        # (S, 3) — SUPER consecutive clusters per group
+    super_max: Array        # (S, 3)
     mega_ids: Array         # (MAX_MEGA,) i32 — huge tris excluded from the
                             # clusters, tested densely; -1 padded
     # static: True when any material references an atlas page. Lets the hot
@@ -433,6 +435,8 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
         background=jnp.zeros((3,), jnp.float32),
         cluster_min=jnp.asarray(accel["cluster_min"]),
         cluster_max=jnp.asarray(accel["cluster_max"]),
+        super_min=jnp.asarray(accel["super_min"]),
+        super_max=jnp.asarray(accel["super_max"]),
         mega_ids=jnp.asarray(accel["mega_ids"]),
         has_textures=bool((mat_tex >= 0).any()),
         has_glossy=bool((mat_type == S.MATERIAL_TYPES["glossy"]).any()),

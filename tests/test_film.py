@@ -59,3 +59,27 @@ def test_png_zlib_fallback(tmp_path):
     img_io._write_png_zlib(p, arr)
     back = (img_io.read_image(p) * 255.0 + 0.5).astype(np.uint8)
     np.testing.assert_array_equal(back, arr)
+
+
+def test_render_image_pixel_chunking_exact():
+    """Frames larger than config.wavefront are rendered in pixel chunks
+    (one wavefront per scan step). Chunking must be bit-exact vs the
+    unchunked path: per-pixel RNG streams do not depend on the chunking."""
+    import jax
+    import numpy as np
+    from dataclasses import replace as dreplace
+
+    from mafrixraytracing_tpu.integrator.path import (
+        PathTracerConfig,
+        render_image,
+    )
+    from mafrixraytracing_tpu.scene.builtin import cornell_box
+    from mafrixraytracing_tpu.scene.compiler import compile_scene
+
+    cs = compile_scene(cornell_box(width=48, height=48))
+    base = PathTracerConfig(max_depth=2, rr_enable=False, backend="jnp")
+    small = dreplace(base, wavefront=512)  # 48*48 = 2304 -> 5 chunks
+    key = jax.random.key(3)
+    img_a = np.asarray(render_image(cs.scene, cs.camera, 48, 48, 1, key, base))
+    img_b = np.asarray(render_image(cs.scene, cs.camera, 48, 48, 1, key, small))
+    np.testing.assert_array_equal(img_a, img_b)

@@ -15,6 +15,8 @@ from mafrixraytracing_tpu.scene import spec as S
 from mafrixraytracing_tpu.scene.builtin import cornell_box
 from mafrixraytracing_tpu.scene.compiler import compile_scene
 
+pytestmark = pytest.mark.slow
+
 CFG = PathTracerConfig(backend="jnp", max_depth=3, rr_enable=False)
 
 

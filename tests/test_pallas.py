@@ -159,3 +159,51 @@ def test_flat_clustered_rect_oblique_tile():
     )
     # all rays were aimed through the quad: none may fall through to ground
     assert hit.all() and (np.asarray(i_p) < 2).all()
+
+
+def test_supercluster_path_matches_jnp(monkeypatch):
+    """Two-level (supercluster) walk forced on small scenes: identical
+    results to the jnp reference on cornell, the flat-quad repro, and
+    random oblique batches; any-hit agrees as well."""
+    monkeypatch.setattr(ip, "SUPER_MIN_C", 0)
+    for cs, origin, seed in [
+        (compile_scene(cornell_box()), (0.0, 1.0, 1.5), 0),
+        (_flat_quad_over_mega_ground(), (0.0, 2.0, 0.0), 2),
+        (compile_scene(sphere_triad()), (0.0, 0.7, 2.0), 5),
+    ]:
+        rays = _random_rays(512, origin, seed=seed)
+        t_j, i_j = isect.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8)
+        t_p, i_p = ip.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8,
+                                   interpret=True)
+        np.testing.assert_array_equal(np.asarray(i_j), np.asarray(i_p))
+        hit = np.asarray(i_j) >= 0
+        np.testing.assert_allclose(np.asarray(t_j)[hit], np.asarray(t_p)[hit],
+                                   rtol=1e-4)
+        # any-hit with per-ray t_max just below / above the closest hit
+        tj = np.asarray(t_j)
+        t_far = jnp.asarray(np.where(hit, tj * 1.01, 1e8), jnp.float32)
+        occ = ip.occluded(cs.scene, rays, ip.T_MIN_CONST, t_far,
+                          interpret=True)
+        np.testing.assert_array_equal(np.asarray(occ), hit | (~hit & np.asarray(
+            ip.occluded(cs.scene, rays, ip.T_MIN_CONST,
+                        jnp.full(hit.shape, 1e8, jnp.float32),
+                        interpret=True))))
+
+
+def test_supercluster_straight_down_flat(monkeypatch):
+    """Supercluster path on the flat-cluster regression tile (axis-aligned
+    rays, zero-thickness child AABB): the inclusive refinement comparison
+    must keep the quad."""
+    monkeypatch.setattr(ip, "SUPER_MIN_C", 0)
+    cs = _flat_quad_over_mega_ground()
+    n = 1024
+    key = jax.random.key(11)
+    xz = jax.random.uniform(key, (n, 2), minval=-0.45, maxval=0.45)
+    o = jnp.stack([xz[:, 0], jnp.full((n,), 2.0), xz[:, 1]], axis=1)
+    d = jnp.tile(jnp.array([[0.0, -1.0, 0.0]]), (n, 1))
+    rays = Rays(origin=o, direction=d)
+    t_j, i_j = isect.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8)
+    t_p, i_p = ip.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8,
+                               interpret=True)
+    np.testing.assert_array_equal(np.asarray(i_j), np.asarray(i_p))
+    np.testing.assert_allclose(np.asarray(t_p), 2.0, atol=1e-4)

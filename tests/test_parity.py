@@ -17,6 +17,8 @@ from mafrixraytracing_tpu.scene.compiler import compile_scene
 
 from golden_numpy import GoldenScene, render as golden_render
 
+pytestmark = pytest.mark.slow
+
 
 def _golden_from_compiled(scene, light_corner, light_e1, light_e2,
                           light_normal, light_intensity):
@@ -80,3 +82,63 @@ def test_mafrix_estimator_matches_golden_cornell():
     assert np.sign(bf[:, 0, 0].mean() - bf[:, 0, 1].mean()) == np.sign(
         bg[:, 0, 0].mean() - bg[:, 0, 1].mean()
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-backend correctness matrix (round-4 VERDICT #5): the physical
+# estimator's math is identical on the jnp and Pallas backends — only the
+# closest-hit/any-hit SEARCH differs, and the two searches are index-exact
+# by contract (tests/test_pallas.py). With identical RNG streams the
+# rendered images must therefore agree to float-accumulation noise, per
+# material family (metal / dielectric / textured / spheres).
+# ---------------------------------------------------------------------------
+
+from mafrixraytracing_tpu.scene import spec as S  # noqa: E402
+
+
+def _cross_backend_scene(kind):
+    floor = S.make_rect_mesh((-4, 0, 4), (4, 0, 4), (4, 0, -4), (-4, 0, -4))
+    light = S.make_rect_mesh((-1, 3.5, -1), (1, 3.5, -1), (1, 3.5, 1),
+                             (-1, 3.5, 1))
+    textures = []
+    if kind == "metal":
+        mat = S.MaterialSpec(type="metal", albedo=(0.9, 0.8, 0.6), fuzz=0.15)
+    elif kind == "dielectric":
+        mat = S.MaterialSpec(type="dielectric", albedo=(1, 1, 1), ior=1.5)
+    elif kind == "glossy":
+        mat = S.MaterialSpec(type="glossy", albedo=(0.8, 0.8, 0.8),
+                             exponent=24.0)
+    elif kind == "textured":
+        from mafrixraytracing_tpu.materials.texture import checker_texture
+
+        textures = [checker_texture((0.9, 0.9, 0.9), (0.1, 0.3, 0.1))]
+        mat = S.MaterialSpec(albedo=(1.0, 1.0, 1.0), texture_id=0)
+    else:
+        mat = S.MaterialSpec(albedo=(0.7, 0.7, 0.7))
+    spec = S.SceneSpec(
+        camera=S.CameraSpec(position=(0.0, 1.3, 4.0),
+                            direction=(0.0, -0.25, -1.0), fov=55.0,
+                            fov_convention="standard"),
+        materials=[S.MaterialSpec(albedo=(0.65, 0.65, 0.65)), mat],
+        shapes=[S.ShapeSpec(floor, 1 if kind == "textured" else 0)],
+        spheres=[S.SphereSpec(center=(0.0, 0.8, 0.0), radius=0.8, material=1)]
+        if kind != "textured" else [],
+        area_lights=[S.AreaLightSpec(light, radiance=(10.0,) * 3,
+                                     visible=True)],
+        textures=textures,
+    )
+    return compile_scene(spec)
+
+
+@pytest.mark.parametrize("kind", ["metal", "dielectric", "glossy", "textured"])
+def test_cross_backend_material_matrix(kind):
+    cs = _cross_backend_scene(kind)
+    W = H = 32
+    cfg_j = PathTracerConfig(max_depth=4, rr_enable=False, backend="jnp")
+    cfg_p = PathTracerConfig(max_depth=4, rr_enable=False, backend="pallas")
+    key = jax.random.key(9)
+    img_j = np.asarray(render_image(cs.scene, cs.camera, W, H, 8, key, cfg_j))
+    img_p = np.asarray(render_image(cs.scene, cs.camera, W, H, 8, key, cfg_p))
+    assert np.isfinite(img_j).all() and np.isfinite(img_p).all()
+    assert img_j.max() > 0.01  # scene actually renders something
+    np.testing.assert_allclose(img_p, img_j, rtol=2e-3, atol=2e-3)
