@@ -51,10 +51,11 @@ from mafrixraytracing_tpu.accel.clusters import CLUSTER_SIZE, SUPER
 
 import os as _os
 
-# Tuning knobs. Defaults were swept on a real v5e (round 3): TILE=128
-# amortizes per-grid-step overhead best once the cull is tight, and
-# EXIT_CHECK=8 keeps the (vector -> scalar serializing) early-exit reduce
-# off the critical path. The MFX_* env overrides exist for sweeps only —
+# Tuning knobs. Defaults were swept on a real v5e (round 3, re-swept round
+# 4): TILE=128 amortizes per-grid-step overhead best once the cull is
+# tight, and EXIT_CHECK=4 balances the (vector -> scalar serializing)
+# early-exit reduce against wasted cluster tests (8 and 2 are ~2-3%
+# slower on the spot bench). The MFX_* env overrides exist for sweeps only —
 # values are validated here so a bad sweep value fails fast instead of
 # deep inside Mosaic.
 TILE = int(_os.environ.get("MFX_TILE", "128"))
@@ -64,7 +65,7 @@ ROWS = 16           # rows per cluster in the packed triangle array
 BIG = 1e30
 DET_EPS = 1e-10
 MAX_VMEM_TRIS = 200_000  # (T/128, 16, 128) f32 must fit comfortably in VMEM
-EXIT_CHECK = int(_os.environ.get("MFX_EXIT_CHECK", "8"))
+EXIT_CHECK = int(_os.environ.get("MFX_EXIT_CHECK", "4"))
                     # clusters between early-termination checks
 assert TILE % 8 == 0 and 8 <= TILE <= 128, f"MFX_TILE={TILE}: need a multiple of 8 in [8, 128]"
 assert EXIT_CHECK >= 1, f"MFX_EXIT_CHECK={EXIT_CHECK}: need >= 1"
