@@ -64,6 +64,7 @@ def fit_albedo(prefix, mesh, cfg, W=48, H=48):
     fitted, losses = inverse.fit(
         bad, camera, target, ("mat_albedo",), mesh,
         steps=40, lr=5e-2, spp=8, key=jax.random.key(11), config=cfg,
+        log_every=10,
     )
     save(prefix, "albedo_fitted", render(fitted, 16, 9))
     f0 = np.asarray(fitted.mat_albedo)[0]
@@ -103,6 +104,7 @@ def fit_geometry(prefix, mesh, cfg, W=32, H=32):
     fitted, losses = inverse.fit(
         bad, camera, target, ("tri_v0",), mesh,
         steps=60, lr=3e-2, spp=8, key=jax.random.key(11), config=cfg,
+        log_every=15,
     )
     save(prefix, "geo_fitted", render(fitted, 32, 9))
     d_b = np.linalg.norm(pert_v0 - true_v0, axis=1)[mask].mean()
@@ -135,6 +137,7 @@ def fit_spot_vertices(prefix, mesh, cfg, W=48, H=48):
     fitted, losses = inverse.fit(
         bad, camera, target, ("mesh_vertices",), mesh,
         steps=80, lr=1.5e-2, spp=8, key=jax.random.key(13), config=cfg,
+        log_every=20, checkpoint_path="/tmp/fit_spot_verts_ck",
     )
     save(prefix, "verts_fitted", render(fitted, 32, 9))
     d_b = np.linalg.norm(pert - true_mv, axis=1)[live].mean()

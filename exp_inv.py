@@ -32,7 +32,7 @@ def run(opt, label, steps=80, spp=16):
     t0 = time.time()
     for i in range(steps):
         key2, sub = jax.random.split(key2)
-        params, opt_state, loss = step_fn(params, opt_state, bad, camera, target, sub)
+        params, opt_state, loss, _ = step_fn(params, opt_state, bad, camera, target, sub)
         losses.append(float(loss))
     fa = np.asarray(params["mat_albedo"]); fv = np.asarray(params["tri_v0"])
     err0 = np.abs(fa[0] - true_albedo[0]).max()

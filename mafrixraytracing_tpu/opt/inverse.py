@@ -82,8 +82,10 @@ def make_train_step(
 ):
     """Build a jitted, mesh-parallel train step:
         (params, opt_state, scene, camera, target, key)
-            -> (params, opt_state, loss)
-    `target` is the (H, W, 3) linear-radiance target image."""
+            -> (params, opt_state, loss, grad_norm)
+    `target` is the (H, W, 3) linear-radiance target image; `grad_norm` is
+    the global L2 norm of the psum-reduced gradient (the in-run training
+    scalar next to the loss)."""
 
     n_dev = mesh.shape[RAY_AXIS]
     B = width * height
@@ -101,15 +103,16 @@ def make_train_step(
         # data-parallel gradient all-reduce over the ray axis (ICI)
         grads = lax.pmean(grads, RAY_AXIS)
         loss = lax.pmean(loss, RAY_AXIS)
+        gnorm = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss
+        return params, opt_state, loss, gnorm
 
     sharded = shard_map(
         shard_step,
         mesh=mesh,
         in_specs=(P(), P(), P(), P(), P(RAY_AXIS), P(RAY_AXIS), P()),
-        out_specs=(P(), P(), P()),
+        out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )
 
@@ -135,9 +138,28 @@ def fit(
     key=None,
     config: PathTracerConfig = PathTracerConfig(),
     callback=None,
+    log_every: int = 0,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 25,
 ):
     """Optimize `param_names` of `scene` so its render matches `target`.
-    Returns (fitted_scene, losses)."""
+    Returns (fitted_scene, losses).
+
+    Observability + recovery for long fits (reference has neither —
+    SURVEY §5 aux subsystems):
+    - `log_every=N` prints an in-run scalar line every N steps: step,
+      loss, global gradient norm, steps/s, and rays/s (pixels * spp *
+      ~2 queries/bounce estimate).
+    - `checkpoint_path` enables fail-fast + restart: the fit state
+      (params, optimizer state, step index, RNG key) is saved every
+      `checkpoint_every` steps and on completion; calling `fit` again
+      with the same path RESUMES from the last checkpoint and reproduces
+      the uninterrupted run bit-exactly (counter-based key schedule).
+    """
+    import time as _time
+
+    from mafrixraytracing_tpu.utils import checkpoint as ckpt
+
     if key is None:
         key = jax.random.key(0)
     h, w = target.shape[:2]
@@ -146,13 +168,35 @@ def fit(
     opt_state = optimizer.init(params)
     step_fn = make_train_step(mesh, optimizer, w, h, spp, config)
 
+    start = 0
+    if checkpoint_path is not None:
+        resumed = ckpt.load_fit_state(checkpoint_path, params, opt_state)
+        if resumed is not None:
+            params, opt_state, start, key = resumed
+
     losses = []
-    for i in range(steps):
+    t_prev = _time.perf_counter()
+    for i in range(start, steps):
         key, sub = jax.random.split(key)
-        params, opt_state, loss = step_fn(
+        params, opt_state, loss, gnorm = step_fn(
             params, opt_state, scene, camera, target, sub
         )
         losses.append(float(loss))
+        if log_every and ((i - start) % log_every == 0 or i == steps - 1):
+            jax.block_until_ready(loss)
+            now = _time.perf_counter()
+            dt = max(now - t_prev, 1e-9) / max(log_every, 1)
+            t_prev = now
+            rays = w * h * spp * 2 * config.max_depth / dt
+            print(
+                f"[fit] step {i:4d}  loss {float(loss):.5f}  "
+                f"|grad| {float(gnorm):.4g}  {1.0 / dt:6.2f} steps/s  "
+                f"~{rays / 1e6:.2f}M rays/s"
+            )
+        if checkpoint_path is not None and (
+            (i + 1) % checkpoint_every == 0 or i + 1 == steps
+        ):
+            ckpt.save_fit_state(checkpoint_path, params, opt_state, i + 1, key)
         if callback is not None:
             callback(i, float(loss), params)
     return apply_params(scene, params), losses

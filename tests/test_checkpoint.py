@@ -63,3 +63,61 @@ def test_scene_roundtrip(tmp_path):
         jax.tree_util.tree_leaves(scene), jax.tree_util.tree_leaves(back)
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_sharded_fit_restart_bit_exact(tmp_path):
+    """Failure recovery for a SHARDED inverse fit (round-4: the coverage
+    table's 'nothing exercises a restart of a sharded fit'): run 8 steps
+    uninterrupted; separately run 4 steps with checkpointing, simulate a
+    crash, resume from the checkpoint for the remaining 4 — the final
+    parameters and loss trace must match bit-exactly (counter-based key
+    chain is saved/restored)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mafrixraytracing_tpu.integrator.path import PathTracerConfig
+    from mafrixraytracing_tpu.opt import inverse
+    from mafrixraytracing_tpu.parallel.mesh import make_mesh
+    from mafrixraytracing_tpu.parallel.render import render_image_sharded
+    from mafrixraytracing_tpu.scene import spec as S
+    from mafrixraytracing_tpu.scene.compiler import compile_scene
+
+    W = H = 16
+    floor = S.make_rect_mesh((-2, 0, 2), (2, 0, 2), (2, 0, -2), (-2, 0, -2))
+    light = S.make_rect_mesh((-0.6, 2.0, -0.6), (0.6, 2.0, -0.6),
+                             (0.6, 2.0, 0.6), (-0.6, 2.0, 0.6))
+    spec = S.SceneSpec(
+        materials=[S.MaterialSpec(albedo=(0.4, 0.6, 0.5))],
+        shapes=[S.ShapeSpec(floor, 0)],
+        area_lights=[S.AreaLightSpec(light, radiance=(10.0,) * 3,
+                                     visible=False)],
+    )
+    cfg = PathTracerConfig(max_depth=2, rr_enable=False, backend="jnp")
+    cs = compile_scene(spec)
+    scene, camera = cs.scene, cs.camera
+    mesh = make_mesh()
+    target = jax.block_until_ready(
+        render_image_sharded(scene, camera, mesh, W, H, 4, jax.random.key(7),
+                             cfg)
+    )
+    bad = scene.replace(mat_albedo=scene.mat_albedo.at[0].set(
+        jnp.asarray([0.8, 0.2, 0.2])))
+
+    common = dict(param_names=("mat_albedo",), mesh=mesh, lr=5e-2, spp=2,
+                  key=jax.random.key(3), config=cfg)
+    ref_scene, ref_losses = inverse.fit(bad, camera, target, steps=8, **common)
+
+    ck = str(tmp_path / "fit_ck")
+    # phase 1: 4 steps then "crash" (function returns; state is on disk)
+    inverse.fit(bad, camera, target, steps=4, checkpoint_path=ck,
+                checkpoint_every=2, **common)
+    # phase 2: restart the SAME fit asking for 8 total — resumes at step 4
+    res_scene, res_losses = inverse.fit(
+        bad, camera, target, steps=8, checkpoint_path=ck,
+        checkpoint_every=2, **common
+    )
+    assert len(res_losses) == 4  # only the resumed half ran
+    np.testing.assert_array_equal(np.asarray(res_scene.mat_albedo),
+                                  np.asarray(ref_scene.mat_albedo))
+    np.testing.assert_allclose(res_losses, ref_losses[4:], rtol=0, atol=0)
