@@ -62,6 +62,41 @@ def extract_params(scene, names) -> dict:
     return {n: getattr(scene, n) for n in names}
 
 
+def smooth_vertex_grads(scene, g, iters: int = 8, alpha: float = 0.7):
+    """Laplacian-smooth a mesh-vertex gradient over the face adjacency (a
+    light version of the "Large Steps in Inverse Rendering" preconditioner).
+    Per-vertex Monte-Carlo gradients at practical sample counts are noise-
+    dominated; adam then normalizes that noise into a constant-size random
+    walk that ROUGHENS the mesh while the loss drifts sideways. Diffusing
+    the gradient over the 1-ring (iters Jacobi steps of
+    g <- (1-alpha) g + alpha * neighbor-mean(g)) keeps the coherent,
+    low-frequency component — which is exactly the part the shading signal
+    can actually constrain — and averages the per-vertex noise away."""
+    f = scene.tri_face_vi
+    w = scene.tri_mask.astype(jnp.float32)[:, None]
+    V = g.shape[0]
+    deg = (
+        jnp.zeros((V, 1))
+        .at[f[:, 0]].add(2.0 * w)
+        .at[f[:, 1]].add(2.0 * w)
+        .at[f[:, 2]].add(2.0 * w)
+    )
+
+    def nb_sum(x):
+        ga, gb, gc = x[f[:, 0]], x[f[:, 1]], x[f[:, 2]]
+        return (
+            jnp.zeros_like(x)
+            .at[f[:, 0]].add((gb + gc) * w)
+            .at[f[:, 1]].add((ga + gc) * w)
+            .at[f[:, 2]].add((ga + gb) * w)
+        )
+
+    for _ in range(iters):
+        avg = nb_sum(g) / jnp.maximum(deg, 1.0)
+        g = (1.0 - alpha) * g + alpha * avg
+    return g
+
+
 def image_loss(img, target):
     """Relative-L2 loss (standard for HDR renders: divides out brightness so
     bright pixels don't dominate). Normalized by the *target* (a constant):
@@ -79,6 +114,7 @@ def make_train_step(
     height: int,
     spp: int,
     config: PathTracerConfig = PathTracerConfig(),
+    smooth_geometry: int = 0,
 ):
     """Build a jitted, mesh-parallel train step:
         (params, opt_state, scene, camera, target, key)
@@ -103,6 +139,11 @@ def make_train_step(
         # data-parallel gradient all-reduce over the ray axis (ICI)
         grads = lax.pmean(grads, RAY_AXIS)
         loss = lax.pmean(loss, RAY_AXIS)
+        if smooth_geometry and "mesh_vertices" in grads:
+            grads = dict(grads)
+            grads["mesh_vertices"] = smooth_vertex_grads(
+                scene, grads["mesh_vertices"], iters=smooth_geometry
+            )
         gnorm = optax.global_norm(grads)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
@@ -141,6 +182,7 @@ def fit(
     log_every: int = 0,
     checkpoint_path: str | None = None,
     checkpoint_every: int = 25,
+    smooth_geometry: int = 0,
 ):
     """Optimize `param_names` of `scene` so its render matches `target`.
     Returns (fitted_scene, losses).
@@ -150,6 +192,10 @@ def fit(
     - `log_every=N` prints an in-run scalar line every N steps: step,
       loss, global gradient norm, steps/s, and rays/s (pixels * spp *
       ~2 queries/bounce estimate).
+    - `smooth_geometry=N` Laplacian-smooths the `mesh_vertices` gradient
+      with N Jacobi iterations before the optimizer (see
+      `smooth_vertex_grads`) — essential for stable vertex fits at
+      practical sample counts.
     - `checkpoint_path` enables fail-fast + restart: the fit state
       (params, optimizer state, step index, RNG key) is saved every
       `checkpoint_every` steps and on completion; calling `fit` again
@@ -166,7 +212,8 @@ def fit(
     params = extract_params(scene, param_names)
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
-    step_fn = make_train_step(mesh, optimizer, w, h, spp, config)
+    step_fn = make_train_step(mesh, optimizer, w, h, spp, config,
+                              smooth_geometry=smooth_geometry)
 
     start = 0
     if checkpoint_path is not None:

@@ -222,3 +222,29 @@ def test_recover_mesh_vertices_shared():
         np.asarray(fitted.mesh_vertices)[:, 1] - true_mv[:, 1]
     )[live].mean()
     assert d_after < 0.4 * d_before, (d_after, d_before)
+
+
+def test_smooth_vertex_grads_properties():
+    """Laplacian gradient preconditioner: a constant field is a fixed point
+    (coherent translations pass through untouched) and white noise shrinks
+    (per-vertex MC noise is averaged away)."""
+    floor = S.make_rect_mesh((-2, 0, 2), (2, 0, 2), (2, 0, -2), (-2, 0, -2))
+    spec = S.SceneSpec(materials=[S.MaterialSpec()],
+                       shapes=[S.ShapeSpec(floor, 0)])
+    scene = compile_scene(spec).scene
+    V = scene.mesh_vertices.shape[0]
+    live = np.zeros(V, bool)
+    live[np.unique(np.asarray(scene.tri_face_vi)[np.asarray(scene.tri_mask)])] = True
+
+    const = jnp.asarray(np.where(live[:, None], [[0.0, 2.0, 0.0]], 0.0),
+                        jnp.float32)
+    out = inverse.smooth_vertex_grads(scene, const, iters=6)
+    np.testing.assert_allclose(np.asarray(out)[live],
+                               np.asarray(const)[live], atol=1e-5)
+
+    rng = np.random.default_rng(0)
+    noise = jnp.asarray(
+        np.where(live[:, None], rng.normal(size=(V, 3)), 0.0), jnp.float32
+    )
+    sm = np.asarray(inverse.smooth_vertex_grads(scene, noise, iters=6))
+    assert np.abs(sm[live]).mean() < 0.7 * np.abs(np.asarray(noise)[live]).mean()
