@@ -119,3 +119,33 @@ def test_unknown_material_type():
     )
     with pytest.raises(ValueError):
         parse_scene_xml(xml)
+
+
+def test_glossy_material_grammar():
+    """XML extension: type=\"glossy\" with a float exponent maps to the
+    normalized Phong lobe (the reference's dead GlossySpecular with
+    exponent control)."""
+    xml = textwrap.dedent(
+        """\
+        <Scene version="0.1">
+          <Materials>
+            <Material type="glossy">
+              <color name="albedo" value="0.8,0.7,0.6"/>
+              <float name="exponent" value="96"/>
+            </Material>
+          </Materials>
+        </Scene>
+        """
+    )
+    spec = parse_scene_xml(xml)
+    assert spec.materials[0].type == "glossy"
+    assert spec.materials[0].exponent == 96.0
+    np.testing.assert_allclose(spec.materials[0].albedo, (0.8, 0.7, 0.6))
+
+    from mafrixraytracing_tpu.scene.compiler import compile_scene
+    from mafrixraytracing_tpu.scene import spec as S
+
+    sc = compile_scene(spec).scene
+    assert sc.has_glossy
+    assert int(sc.mat_type[0]) == S.MATERIAL_TYPES["glossy"]
+    assert float(sc.mat_fuzz[0]) == 96.0  # exponent rides the fuzz column
