@@ -94,6 +94,23 @@ class PathTracerConfig:
                                 # spot (576 vs 703 ms fwd/16spp) and
                                 # Renault (779 vs 926 ms); enable for
                                 # scenes with much higher cluster counts
+    compact: tuple = ()         # wavefront compaction schedule: fraction of
+                                # the initial wavefront kept at each bounce
+                                # (len == max_depth, first entry 1.0). After
+                                # each bounce the wavefront is packed
+                                # live-first (stable, preserving ray order —
+                                # tile coherence survives) and sliced to the
+                                # next bucket; retired lanes' radiance is
+                                # collected in fragments and re-sorted by
+                                # pixel id at the end. If more rays survive
+                                # than the bucket holds, a uniform-random
+                                # subset is kept and reweighted by
+                                # live/bucket (population-control Russian
+                                # roulette — unbiased; buckets are chosen
+                                # with headroom so this is a rare safety
+                                # valve, not the mechanism). () = off.
+                                # ~45% of lane-bounces were dead work on the
+                                # spot bench (round-4 VERDICT item 1a).
 
 
 def _occluder(scene, config):
@@ -217,6 +234,107 @@ def _permute_bwd(perm, cts):
 
 
 _permute_by_key.defvjp(_permute_fwd, _permute_bwd)
+
+
+# --- wavefront compaction (round 5) -----------------------------------------
+# After each bounce, ~half the lanes are dead but still pay full NEE/BSDF/
+# RNG/backward cost (the intersector already skips them via t_max = 0, the
+# elementwise tail does not). The compaction path packs live lanes to the
+# front with ONE stable multi-operand sort (original ray order — and hence
+# tile coherence — is preserved) and slices the wavefront to a static
+# per-bounce bucket. Retired lanes' radiance goes to fragments; at the end
+# all fragments are re-sorted by original lane id (a sort, not a scatter).
+#
+# Unbiasedness: if more rays survive than the bucket holds, a UNIFORM-RANDOM
+# subset of exactly K live rays is kept and each survivor's throughput is
+# scaled by live/K (population-control Russian roulette): every live ray's
+# inclusion probability is K/live, so the estimator stays unbiased. Buckets
+# are sized with headroom so this is a rare safety valve. (The uniform pick
+# ties on the f32 random key at ~1e-7 probability per pair, broken by lane
+# id — a correlation far below MC noise.)
+
+
+def compact_buckets(config: "PathTracerConfig", B: int):
+    """Static per-bounce wavefront sizes from the fraction schedule.
+    Rounded up to 1024 (the intersector's TILE*GROUP alignment) so the
+    padded kernel batch equals the bucket; non-increasing."""
+    fr = config.compact
+    assert len(fr) == config.max_depth, (fr, config.max_depth)
+    assert abs(fr[0] - 1.0) < 1e-9, "first bucket must keep the full wavefront"
+    ks, prev = [], B
+    for f in fr:
+        if B >= 1024:
+            k = min(B, -(-int(round(f * B)) // 1024) * 1024)
+        else:
+            k = min(B, max(1, int(round(f * B))))
+        k = min(k, prev)
+        ks.append(k)
+        prev = k
+    return ks
+
+
+def _population_rr(alive, thr_cols, keys, pid, bounce, K: int):
+    """Keep a uniform-random subset of at most K live lanes, reweighting
+    survivors by live/K when an actual kill happens. `keys` are the per-lane
+    PRNG keys (same stream in `trace_stats`, so the bench numerator mirrors
+    the kills exactly); `pid` (original lane ids) breaks random-key ties so
+    the selection is identical regardless of current wavefront order.
+    Returns (selected, thr_cols)."""
+    Bw = alive.shape[0]
+    if K >= Bw:
+        return alive, thr_cols
+    u = rng.uniforms(rng.bounce_key(keys, bounce), 97)
+    u = lax.stop_gradient(jnp.where(alive, u, 2.0))
+    su, sp = lax.sort((u, pid), num_keys=2)
+    tau_u, tau_p = su[K - 1], sp[K - 1]
+    selected = alive & ((u < tau_u) | ((u == tau_u) & (pid <= tau_p)))
+    L = jnp.sum(alive.astype(jnp.float32))
+    comp = lax.stop_gradient(jnp.maximum(L / K, 1.0))
+    thr_cols = tuple(jnp.where(selected, c * comp, c) for c in thr_cols)
+    return selected, thr_cols
+
+
+def _compact_bounce_loop(scene, init, bounce_step, config):
+    """Unrolled bounce loop with per-bounce wavefront shrinking (the scan
+    form needs a fixed carry shape). Returns (B, 3) radiance in the original
+    lane order."""
+    B = init[0].origin.shape[0]
+    buckets = compact_buckets(config, B)
+    carry, _ = bounce_step(init, 0)
+    pid = jnp.arange(B, dtype=jnp.int32)
+    frag_pid, frag_r = [], []
+    for b in range(1, config.max_depth):
+        K = buckets[b]
+        cols = _flatten_carry(carry)
+        Kp = cols[0].shape[0]
+        if K < Kp:
+            alive = cols[14].astype(bool)
+            selected, thr = _population_rr(
+                alive, cols[6:9], carry[6], pid, b, K
+            )
+            cols = (cols[0:6] + thr + cols[9:14]
+                    + (selected.astype(jnp.int32),) + cols[15:])
+            # stable pack: kept lanes first, in current (tile) order
+            pos = jnp.arange(Kp, dtype=jnp.int32)
+            ckey = jnp.where(selected, pos, pos + jnp.int32(1 << 30))
+            f, i = _permute_by_key(ckey, cols[0:14], cols[14:18] + (pid,))
+            cols = f + i[0:4]
+            pid_s = i[4]
+            frag_pid.append(pid_s[K:])
+            frag_r.append(tuple(c[K:] for c in cols[9:12]))
+            cols = tuple(c[:K] for c in cols)
+            pid = pid_s[:K]
+            carry = _unflatten_carry(cols)
+        carry, _ = bounce_step(carry, b)
+    cols = _flatten_carry(carry)
+    frag_pid.append(pid)
+    frag_r.append(cols[9:12])
+    all_pid = jnp.concatenate(frag_pid)
+    rad = tuple(
+        jnp.concatenate([fr[c] for fr in frag_r]) for c in range(3)
+    )
+    f, _ = _permute_by_key(all_pid, rad, ())
+    return jnp.stack(f, axis=1)
 
 
 # --- flat wavefront carry ----------------------------------------------------
@@ -377,7 +495,8 @@ def _trace_physical(scene, rays, keys, config, times=None):
                              wo=wo)
                 + nee_point_soa(scene, hit, occluded_fn, sh, wo=wo)
                 + nee_sphere_soa(scene, hit, bkey, occluded_fn, sh,
-                                 mis=config.mis, wo=wo)
+                                 mis=config.mis, wo=wo,
+                                 times=rtimes if config.motion_blur else None)
             )
             rad = rad + v3.where(alive, thr * direct, zero)
 
@@ -419,6 +538,8 @@ def _trace_physical(scene, rays, keys, config, times=None):
         keys,
         times,
     )
+    if config.compact and config.max_depth > 1:
+        return _compact_bounce_loop(scene, init, bounce_step, config)
     if config.sort_secondary and config.max_depth > 1:
         # primary bounce in pixel-tile order, then a wavefront re-sort
         # before *every* later bounce: bounce rays are incoherent in pixel
@@ -534,11 +655,14 @@ def trace_stats(scene, rays: Rays, keys: Array, config: PathTracerConfig) -> Arr
     thr = jnp.ones((B, 3), jnp.float32)
     queries = jnp.zeros((), jnp.float32)
     # shadow-query families per bounce: one batched area-light query when any
-    # area light exists, one per point light, one per emissive-sphere light
+    # area light exists, one per LIVE point light, one per LIVE
+    # emissive-sphere light — counted via the masks, not the padded table
+    # shapes (point lights bucket to 8 rows, spheres to 4; counting padding
+    # would inflate the bench numerator up to 8x — round-4 ADVICE item 3)
     n_shadow = (
-        int(int(scene.light_v0.shape[0]) > 0)
-        + int(scene.plight_pos.shape[0])
-        + int(scene.slight_center.shape[0])
+        jnp.any(scene.light_mask).astype(jnp.float32)
+        + jnp.sum(scene.plight_mask.astype(jnp.float32))
+        + jnp.sum(scene.slight_mask.astype(jnp.float32))
     )
 
     for bounce in range(config.max_depth):

@@ -311,7 +311,7 @@ def nee_point_soa(scene, hit, occluded_fn, sh, wo=None) -> V3:
 
 
 def nee_sphere_soa(scene, hit, key, occluded_fn, sh, mis: bool = True,
-                   wo=None) -> V3:
+                   wo=None, times=None) -> V3:
     """Direct lighting from emissive-material spheres (the reference's DEAD
     `CircleAreaLightObject`, revived): per sphere-light row, one direction
     sampled uniformly inside the *visible cone* (PBRT-style cap sampling:
@@ -322,7 +322,14 @@ def nee_sphere_soa(scene, hit, key, occluded_fn, sh, mis: bool = True,
     BSDF-side weight uses `ShadingS.light_pdf_sa` (see `_trace_physical`).
     Shading points *inside* a sphere light are not sampled (the emission is
     picked up by the BSDF side at full weight). Static loop over the (small)
-    table, shadow rays flattened into one batched occlusion query."""
+    table, shadow rays flattened into one batched occlusion query.
+
+    `times` (B,) — with motion blur, a moving emissive sphere is sampled at
+    its time-shifted center (center + velocity * time), matching both the
+    time-shifted intersection search and the BSDF-side MIS pdf that
+    `hit_attributes_soa` computes from the shifted center; drawing from the
+    static center would light from the wrong position and break MIS
+    consistency (round-4 ADVICE item 1)."""
     from mafrixraytracing_tpu.core import rng
     from mafrixraytracing_tpu.core.sampling import _local_to_world_soa
 
@@ -337,6 +344,12 @@ def nee_sphere_soa(scene, hit, key, occluded_fn, sh, mis: bool = True,
     for i in range(SL):
         u = rng.uniforms(rng.split_dim(key, 40 + i), 0, (2,))
         c = jax.lax.stop_gradient(scene.slight_center[i])
+        cx, cy, cz = c[0], c[1], c[2]  # scalars, or (B,) when time-shifted
+        if times is not None:
+            vel = jax.lax.stop_gradient(scene.slight_velocity[i])
+            cx = cx + vel[0] * times
+            cy = cy + vel[1] * times
+            cz = cz + vel[2] * times
         r = jax.lax.stop_gradient(scene.slight_radius[i])
         # the sampled cone geometry (direction, distance, pdf) is detached:
         # it parameterizes the sampler, not the integrand — gradients flow
@@ -344,7 +357,7 @@ def nee_sphere_soa(scene, hit, key, occluded_fn, sh, mis: bool = True,
         # sin2 == 1 (shading point on/inside the light) would otherwise emit
         # NaN cotangents
         hp = jax.tree_util.tree_map(jax.lax.stop_gradient, hit.point)
-        to_c = V3(c[0] - hp.x, c[1] - hp.y, c[2] - hp.z)
+        to_c = V3(cx - hp.x, cy - hp.y, cz - hp.z)
         dc2 = jnp.maximum(v3.dot(to_c, to_c), 1e-12)
         inv_dc = jax.lax.rsqrt(dc2)
         w_axis = to_c * inv_dc
@@ -361,27 +374,28 @@ def nee_sphere_soa(scene, hit, key, occluded_fn, sh, mis: bool = True,
         # (visibility rays start at hit.point + n*eps; measuring the
         # distance from hit.point instead would place the light's own
         # surface inside the shadow interval and self-occlude — see
-        # nee_area_soa). Near-tangent lanes where the shifted ray misses
-        # fall back to the hit.point distance.
+        # nee_area_soa). Near-tangent lanes where the offset ray
+        # geometrically MISSES the sphere are rejected outright: crediting
+        # them full Le with a fallback distance slightly biased light
+        # silhouettes (round-4 ADVICE item 2).
         oc = origin - V3(
-            jnp.broadcast_to(c[0], origin.x.shape),
-            jnp.broadcast_to(c[1], origin.x.shape),
-            jnp.broadcast_to(c[2], origin.x.shape),
+            jnp.broadcast_to(cx, origin.x.shape),
+            jnp.broadcast_to(cy, origin.x.shape),
+            jnp.broadcast_to(cz, origin.x.shape),
         )
         bq = v3.dot(oc, wl)
         cq = v3.dot(oc, oc) - r * r
         disc_o = bq * bq - cq
         tno = -bq - jnp.sqrt(jnp.maximum(disc_o, 0.0))
-        dc = dc2 * inv_dc
-        under = jnp.maximum(r * r - dc2 * sin_t * sin_t, 0.0)
-        dist_hp = jnp.maximum(dc * cos_t - jnp.sqrt(under), 0.0)
-        dist = jnp.where((disc_o > 0.0) & (tno > 0.0), tno, dist_hp)
+        hits_light = (disc_o > 0.0) & (tno > 0.0)
+        dist = jnp.where(hits_light, tno, 0.0)
         pdf_sa = 1.0 / jnp.maximum(2.0 * jnp.pi * (1.0 - cos_max), 1e-12)
         cos_s = v3.dot(hit.normal, wl)
         f, pdf_b = eval_bsdf_soa(sh, hit, wl, wo=wo)
         inside = r * r >= dc2
         candidate = (
             scene.slight_mask[i] & hit.valid & (cos_s > 0.0) & ~inside
+            & hits_light
             & ((f.x > 0.0) | (f.y > 0.0) | (f.z > 0.0))
         )
         if mis:

@@ -79,9 +79,13 @@ assert EXIT_CHECK >= 1, f"MFX_EXIT_CHECK={EXIT_CHECK}: need >= 1"
 # path on tiny scenes.
 SUPER_MIN_C = int(_os.environ.get("MFX_SUPER_MIN_C", "128"))
 
-# t_min is baked into the kernel as a compile-time constant (fixed config
-# value; the reference's epsilon protocol `Integrators.fs:44,108`).
-T_MIN_CONST = 1e-3
+# t_min arrives as a STATIC Python float (PathTracerConfig.t_min is a
+# hashable jit-static, and the NEE shadow epsilon is a module constant), so
+# it is baked into each kernel specialization at trace time — the Pallas
+# path honors `config.t_min` exactly like the jnp backend does (the
+# reference's epsilon protocol is likewise a parameter,
+# `Integrators.fs:44,108`). A traced t_min raises loudly in
+# `find_closest_soa` / `occluded_soa` instead of being silently replaced.
 
 
 def supports(scene) -> bool:
@@ -216,7 +220,8 @@ def _mt_terms(rc, tri_ref, c):
 
 
 def _closest_kernel(
-    list_ref, count_ref, entry_ref, ray_ref, tri_ref, t_out, i_out
+    list_ref, count_ref, entry_ref, ray_ref, tri_ref, t_out, i_out,
+    *, t_min
 ):
     """One ray tile vs. its surviving clusters, front-to-back with chunked
     early termination.
@@ -254,7 +259,7 @@ def _closest_kernel(
     def test_cluster(k, best_t, best_i):
         c = list_ref[r, k]
         t, valid = _mt_terms(rc, tri_ref, c)
-        valid = valid & (t > T_MIN_CONST) & (t < best_t)
+        valid = valid & (t > t_min) & (t < best_t)
         new_t = jnp.where(valid, t, best_t)
         new_i = jnp.where(valid, lanes + c * CLUSTER_SIZE, best_i)
         return new_t, new_i
@@ -305,7 +310,8 @@ def _closest_kernel(
     i_out[:] = jnp.where(hit, row_i, -1)
 
 
-def _anyhit_kernel(list_ref, count_ref, entry_ref, ray_ref, tri_ref, occ_out):
+def _anyhit_kernel(list_ref, count_ref, entry_ref, ray_ref, tri_ref, occ_out,
+                   *, t_min):
     """Shadow-ray occlusion: exits as soon as every live lane is blocked.
     Same layout as `_closest_kernel`; occ_out: (TILE, 1) i32 (1 = occluded).
     No best-hit bookkeeping — any valid hit in (t_min, t_max) occludes."""
@@ -321,7 +327,7 @@ def _anyhit_kernel(list_ref, count_ref, entry_ref, ray_ref, tri_ref, occ_out):
     def test_cluster(k, blocked):
         c = list_ref[r, k]
         t, valid = _mt_terms(rc, tri_ref, c)
-        hit = valid & (t > T_MIN_CONST) & (t < t_max)
+        hit = valid & (t > t_min) & (t < t_max)
         return jnp.where(hit, jnp.int32(1), blocked)
 
     def chunk_body(state):
@@ -341,12 +347,334 @@ def _anyhit_kernel(list_ref, count_ref, entry_ref, ray_ref, tri_ref, occ_out):
         # has passed its last surviving cluster's exit distance
         row = jnp.max(blocked, axis=1, keepdims=True)
         next_entry = entry_ref[r, jnp.minimum(k, n - 1)]
-        resolved = (row > 0) | (t_max <= T_MIN_CONST) | (far < next_entry)
+        resolved = (row > 0) | (t_max <= t_min) | (far < next_entry)
         return (k < n) & jnp.logical_not(jnp.all(resolved))
 
     init = (jnp.int32(0), jnp.zeros((TILE, CLUSTER_SIZE), jnp.int32))
     _, blocked = lax.while_loop(chunk_cond, chunk_body, init)
     occ_out[:] = jnp.max(blocked, axis=1, keepdims=True)
+
+
+# ---------------------------------------------------------------------------
+# Fused in-kernel cull (round 5): slab test + front-to-back ordering INSIDE
+# the kernel
+# ---------------------------------------------------------------------------
+#
+# The XLA-side `_cull` materializes (B, C) slab/entry temps in HBM (~128 MB
+# apiece at B=512k, C=64) plus a (tiles, C) bitonic argsort and SMEM list
+# plumbing — measured ~1/3 of each query's cost and pure memory traffic.
+# The fused kernels compute the same cull per 128-ray tile entirely in
+# VMEM/registers:
+#
+#   1. slab-test the tile's rays against all cluster AABBs ((TILE, 128)
+#      vector ops; the AABB table is a single (8, 128) component-major
+#      block),
+#   2. reduce to the tile-min entry distance per cluster and the per-ray
+#      `far` resolution bound,
+#   3. bitonic-sort the (1, 128) entry row front-to-back using lane
+#      rotations (static slice + concat) — no gathers, and
+#   4. walk the sorted list exactly like the list-based kernels, extracting
+#      the head cluster id from lane 0 and rotating left per step.
+#
+# The AABB lane count is fixed at 128: the single-level path is only used
+# for C <= SUPER_MIN_C = 128, and the two-level path's supercluster count
+# S = ceil(C/16) <= ceil(MAX_VMEM_TRIS/128/16) = 98 <= 128. Padding lanes
+# carry live = 0 and entry = BIG.
+
+CP = 128  # fixed cull lane count (clusters or superclusters)
+
+
+def _lane_roll(x, shift: int):
+    """Rotate lanes left by `shift` (static) via two static lane slices —
+    Mosaic-safe (no gather)."""
+    if shift % x.shape[1] == 0:
+        return x
+    s = shift % x.shape[1]
+    return jnp.concatenate([x[:, s:], x[:, :s]], axis=1)
+
+
+def _lane_bitonic_sort(key, val):
+    """Ascending bitonic sort of a (1, CP) f32 key row with an i32 payload,
+    lanes only. Partner exchange `lane ^ j` is realized as two lane
+    rotations + select (the wrapped values land on lanes that discard
+    them). Ties broken by payload so the order is deterministic — the same
+    network as `_bitonic_argsort_rows`, in-register."""
+    lane = lax.broadcasted_iota(jnp.int32, key.shape, 1)
+    n = key.shape[1]
+    k = 2
+    while k <= n:
+        j = k // 2
+        while j >= 1:
+            kl, kr = _lane_roll(key, j), _lane_roll(key, n - j)
+            vl, vr = _lane_roll(val, j), _lane_roll(val, n - j)
+            is_lo = (lane & j) == 0
+            pk = jnp.where(is_lo, kl, kr)
+            pv = jnp.where(is_lo, vl, vr)
+            take_min = ((lane & k) == 0) == is_lo
+            less = (pk < key) | ((pk == key) & (pv < val))
+            want = jnp.where(take_min, less, ~less)
+            key = jnp.where(want, pk, key)
+            val = jnp.where(want, pv, val)
+            j //= 2
+        k *= 2
+    return key, val
+
+
+def _tile_cull(aabb_ref, rc, t_max):
+    """In-kernel cull for one ray tile. aabb_ref: (8, CP) component-major
+    AABBs [minx miny minz maxx maxy maxz live pad]; rc: six (TILE, 1) ray
+    columns; t_max: (TILE, 1). Returns (entry_sorted (1, CP) f32 ascending,
+    ids_sorted (1, CP) i32, far (TILE, 1)) — the same contract as the XLA
+    `_cull` + `_bitonic_argsort_rows`, computed without touching HBM."""
+    ox, oy, oz, dx, dy, dz = rc
+    tn = jnp.full((ox.shape[0], CP), -BIG, jnp.float32)
+    tf = jnp.full((ox.shape[0], CP), BIG, jnp.float32)
+    for a, (oa, da) in enumerate(((ox, dx), (oy, dy), (oz, dz))):
+        safe = jnp.where(jnp.abs(da) > 1e-12, da,
+                         jnp.where(da >= 0, 1e-12, -1e-12))
+        r0 = pl.reciprocal(safe, approx=True)
+        inv = r0 * (2.0 - safe * r0)
+        t0 = (aabb_ref[a:a + 1, :] - oa) * inv
+        t1 = (aabb_ref[3 + a:4 + a, :] - oa) * inv
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    live = aabb_ref[6:7, :] > 0.5
+    hitm = live & (tn <= tf) & (tf > 0.0) & (tn < t_max)
+    entry = jnp.where(hitm, jnp.maximum(tn, 0.0), BIG)
+    far = jnp.max(jnp.where(hitm, tf, -BIG), axis=1, keepdims=True)
+    far = jnp.minimum(far, t_max)
+    tile_entry = jnp.min(entry, axis=0, keepdims=True)        # (1, CP)
+    ids = lax.broadcasted_iota(jnp.int32, (1, CP), 1)
+    entry_s, ids_s = _lane_bitonic_sort(tile_entry, ids)
+    return entry_s, ids_s, far
+
+
+def _head(vec):
+    """Scalar at lane 0 of a (1, CP) row."""
+    return vec[0, 0]
+
+
+def _fused_closest_kernel(aabb_ref, ray_ref, tri_ref, t_out, i_out, *, t_min):
+    """`_closest_kernel` with the cull fused in (see block comment above).
+    No SMEM lists, no GROUP blocking — each grid step is self-contained."""
+    rc = tuple(ray_ref[:, i:i + 1] for i in range(6))
+    t_max = ray_ref[:, 6:7]
+    entry_s, ids_s, far = _tile_cull(aabb_ref, rc, t_max)
+    lanes = lax.broadcasted_iota(jnp.int32, (TILE, CLUSTER_SIZE), 1)
+
+    def test_cluster(c, best_t, best_i):
+        t, valid = _mt_terms(rc, tri_ref, c)
+        valid = valid & (t > t_min) & (t < best_t)
+        new_t = jnp.where(valid, t, best_t)
+        new_i = jnp.where(valid, lanes + c * CLUSTER_SIZE, best_i)
+        return new_t, new_i
+
+    def chunk_body(state):
+        k, kv, iv, best_t, best_i = state
+
+        def one(j, st):
+            kv, iv, bt, bi = st
+            ok = (_head(kv) < BIG) & (k + j < CP)  # exhausted / wrapped
+            nt, ni = test_cluster(_head(iv), bt, bi)
+            bt = jnp.where(ok, nt, bt)
+            bi = jnp.where(ok, ni, bi)
+            return (_lane_roll(kv, 1), _lane_roll(iv, 1), bt, bi)
+
+        kv, iv, best_t, best_i = lax.fori_loop(
+            0, EXIT_CHECK, one, (kv, iv, best_t, best_i)
+        )
+        return k + EXIT_CHECK, kv, iv, best_t, best_i
+
+    def chunk_cond(state):
+        k, kv, _, best_t, _ = state
+        # INCLUSIVE compare (<=): flat clusters have entry == exit == far
+        # (round-3 lesson; tests/test_pallas.py::test_flat_clustered_rect_*)
+        limit = jnp.minimum(jnp.min(best_t, axis=1, keepdims=True), far)
+        worst = jnp.max(limit)
+        head = _head(kv)
+        return (k < CP) & (head < BIG) & (head <= worst)
+
+    init = (
+        jnp.int32(0),
+        entry_s,
+        ids_s,
+        jnp.broadcast_to(t_max, (TILE, CLUSTER_SIZE)),
+        jnp.full((TILE, CLUSTER_SIZE), -1, jnp.int32),
+    )
+    _, _, _, best_t, best_i = lax.while_loop(chunk_cond, chunk_body, init)
+    row_t = jnp.min(best_t, axis=1, keepdims=True)
+    row_i = jnp.min(
+        jnp.where(best_t <= row_t, best_i, jnp.int32(2**31 - 1)),
+        axis=1,
+        keepdims=True,
+    )
+    hit = row_t < t_max
+    t_out[:] = row_t
+    i_out[:] = jnp.where(hit, row_i, -1)
+
+
+def _fused_anyhit_kernel(aabb_ref, ray_ref, tri_ref, occ_out, *, t_min):
+    """`_anyhit_kernel` with the cull fused in."""
+    rc = tuple(ray_ref[:, i:i + 1] for i in range(6))
+    t_max = ray_ref[:, 6:7]
+    entry_s, ids_s, far = _tile_cull(aabb_ref, rc, t_max)
+
+    def test_cluster(c, blocked):
+        t, valid = _mt_terms(rc, tri_ref, c)
+        hit = valid & (t > t_min) & (t < t_max)
+        return jnp.where(hit, jnp.int32(1), blocked)
+
+    def chunk_body(state):
+        k, kv, iv, blocked = state
+
+        def one(j, st):
+            kv, iv, b = st
+            ok = (_head(kv) < BIG) & (k + j < CP)
+            nb = test_cluster(_head(iv), b)
+            b = jnp.where(ok, nb, b)
+            return (_lane_roll(kv, 1), _lane_roll(iv, 1), b)
+
+        kv, iv, blocked = lax.fori_loop(0, EXIT_CHECK, one, (kv, iv, blocked))
+        return k + EXIT_CHECK, kv, iv, blocked
+
+    def chunk_cond(state):
+        k, kv, _, blocked = state
+        row = jnp.max(blocked, axis=1, keepdims=True)
+        head = _head(kv)
+        resolved = (row > 0) | (t_max <= t_min) | (far < head)
+        return (k < CP) & (head < BIG) & jnp.logical_not(jnp.all(resolved))
+
+    init = (
+        jnp.int32(0),
+        entry_s,
+        ids_s,
+        jnp.zeros((TILE, CLUSTER_SIZE), jnp.int32),
+    )
+    _, _, _, blocked = lax.while_loop(chunk_cond, chunk_body, init)
+    occ_out[:] = jnp.max(blocked, axis=1, keepdims=True)
+
+
+def _fused_closest_super_kernel(aabb_ref, ray_ref, tri_ref, bounds_ref,
+                                t_out, i_out, *, t_min):
+    """`_closest_super_kernel` with the SUPERcluster cull fused in: the
+    (8, CP) table holds supercluster AABBs; each visited supercluster's 16
+    children are slab-refined in VMEM as before."""
+    rc = tuple(ray_ref[:, i:i + 1] for i in range(6))
+    t_max = ray_ref[:, 6:7]
+    entry_s, ids_s, far = _tile_cull(aabb_ref, rc, t_max)
+    lanes = lax.broadcasted_iota(jnp.int32, (TILE, CLUSTER_SIZE), 1)
+
+    def test_cluster(c, best_t, best_i):
+        t, valid = _mt_terms(rc, tri_ref, c)
+        valid = valid & (t > t_min) & (t < best_t)
+        new_t = jnp.where(valid, t, best_t)
+        new_i = jnp.where(valid, lanes + c * CLUSTER_SIZE, best_i)
+        return new_t, new_i
+
+    def super_body(state):
+        k, kv, iv, best_t, best_i = state
+        s = _head(iv)
+        row_best = jnp.min(best_t, axis=1, keepdims=True)
+        chit = _cluster_refine_hits(ray_ref, bounds_ref, s, row_best)
+
+        bb = (best_t, best_i)
+        for j in range(SUPER):
+            bb = lax.cond(
+                jnp.any(chit[:, j]),
+                lambda b, jj=j: test_cluster(s * SUPER + jj, *b),
+                lambda b: b,
+                bb,
+            )
+        best_t, best_i = bb
+        return k + 1, _lane_roll(kv, 1), _lane_roll(iv, 1), best_t, best_i
+
+    def super_cond(state):
+        k, kv, _, best_t, _ = state
+        limit = jnp.minimum(jnp.min(best_t, axis=1, keepdims=True), far)
+        worst = jnp.max(limit)
+        head = _head(kv)
+        return (k < CP) & (head < BIG) & (head <= worst)
+
+    init = (
+        jnp.int32(0),
+        entry_s,
+        ids_s,
+        jnp.broadcast_to(t_max, (TILE, CLUSTER_SIZE)),
+        jnp.full((TILE, CLUSTER_SIZE), -1, jnp.int32),
+    )
+    _, _, _, best_t, best_i = lax.while_loop(super_cond, super_body, init)
+    row_t = jnp.min(best_t, axis=1, keepdims=True)
+    row_i = jnp.min(
+        jnp.where(best_t <= row_t, best_i, jnp.int32(2**31 - 1)),
+        axis=1,
+        keepdims=True,
+    )
+    hit = row_t < t_max
+    t_out[:] = row_t
+    i_out[:] = jnp.where(hit, row_i, -1)
+
+
+def _fused_anyhit_super_kernel(aabb_ref, ray_ref, tri_ref, bounds_ref,
+                               occ_out, *, t_min):
+    """`_anyhit_super_kernel` with the supercluster cull fused in."""
+    rc = tuple(ray_ref[:, i:i + 1] for i in range(6))
+    t_max = ray_ref[:, 6:7]
+    entry_s, ids_s, far = _tile_cull(aabb_ref, rc, t_max)
+
+    def test_cluster(c, blocked):
+        t, valid = _mt_terms(rc, tri_ref, c)
+        hit = valid & (t > t_min) & (t < t_max)
+        return jnp.where(hit, jnp.int32(1), blocked)
+
+    def super_body(state):
+        k, kv, iv, blocked = state
+        s = _head(iv)
+        open_ = jnp.max(blocked, axis=1, keepdims=True) == 0
+        limit = jnp.where(open_, t_max, 0.0)
+        chit = _cluster_refine_hits(ray_ref, bounds_ref, s, limit)
+
+        for j in range(SUPER):
+            blocked = lax.cond(
+                jnp.any(chit[:, j]),
+                lambda bl, jj=j: test_cluster(s * SUPER + jj, bl),
+                lambda bl: bl,
+                blocked,
+            )
+        return k + 1, _lane_roll(kv, 1), _lane_roll(iv, 1), blocked
+
+    def super_cond(state):
+        k, kv, _, blocked = state
+        row = jnp.max(blocked, axis=1, keepdims=True)
+        head = _head(kv)
+        resolved = (row > 0) | (t_max <= t_min) | (far < head)
+        return (k < CP) & (head < BIG) & jnp.logical_not(jnp.all(resolved))
+
+    init = (
+        jnp.int32(0),
+        entry_s,
+        ids_s,
+        jnp.zeros((TILE, CLUSTER_SIZE), jnp.int32),
+    )
+    _, _, _, blocked = lax.while_loop(super_cond, super_body, init)
+    occ_out[:] = jnp.max(blocked, axis=1, keepdims=True)
+
+
+def pack_aabbs(cmin, cmax):
+    """(8, CP) component-major AABB table for `_tile_cull`: rows
+    [minx; miny; minz; maxx; maxy; maxz; live; pad] across CP lanes. Empty
+    (padded) clusters carry +-3e38 sentinels whose slabs overflow to
+    +-inf and PASS — the live row masks them (as in `_cull`)."""
+    C = cmin.shape[0]
+    assert C <= CP, (C, CP)
+    live = (cmin[:, 0] <= cmax[:, 0]).astype(jnp.float32)
+    rows = jnp.concatenate(
+        [cmin.T, cmax.T, live[None, :], jnp.zeros((1, C), jnp.float32)],
+        axis=0,
+    )  # (8, C)
+    if C < CP:
+        pad = jnp.zeros((8, CP - C), jnp.float32)
+        rows = jnp.concatenate([rows, pad], axis=1)  # live = 0 on padding
+    return rows
 
 
 # ---------------------------------------------------------------------------
@@ -380,7 +708,8 @@ def _cluster_refine_hits(ray_ref, bounds_ref, s, limit):
 
 
 def _closest_super_kernel(
-    list_ref, count_ref, entry_ref, ray_ref, tri_ref, bounds_ref, t_out, i_out
+    list_ref, count_ref, entry_ref, ray_ref, tri_ref, bounds_ref, t_out, i_out,
+    *, t_min
 ):
     """Supercluster walk: like `_closest_kernel`, but each list entry is a
     SUPERcluster; its 16 child clusters are slab-refined in VMEM and only
@@ -395,7 +724,7 @@ def _closest_super_kernel(
 
     def test_cluster(c, best_t, best_i):
         t, valid = _mt_terms(rc, tri_ref, c)
-        valid = valid & (t > T_MIN_CONST) & (t < best_t)
+        valid = valid & (t > t_min) & (t < best_t)
         new_t = jnp.where(valid, t, best_t)
         new_i = jnp.where(valid, lanes + c * CLUSTER_SIZE, best_i)
         return new_t, new_i
@@ -445,7 +774,8 @@ def _closest_super_kernel(
 
 
 def _anyhit_super_kernel(
-    list_ref, count_ref, entry_ref, ray_ref, tri_ref, bounds_ref, occ_out
+    list_ref, count_ref, entry_ref, ray_ref, tri_ref, bounds_ref, occ_out,
+    *, t_min
 ):
     """Supercluster any-hit: child refinement + per-child `lax.cond`; exits
     as soon as every live lane is blocked."""
@@ -457,7 +787,7 @@ def _anyhit_super_kernel(
 
     def test_cluster(c, blocked):
         t, valid = _mt_terms(rc, tri_ref, c)
-        hit = valid & (t > T_MIN_CONST) & (t < t_max)
+        hit = valid & (t > t_min) & (t < t_max)
         return jnp.where(hit, jnp.int32(1), blocked)
 
     def super_body(state):
@@ -482,7 +812,7 @@ def _anyhit_super_kernel(
         k, blocked = state
         row = jnp.max(blocked, axis=1, keepdims=True)
         next_entry = entry_ref[r, jnp.minimum(k, n - 1)]
-        resolved = (row > 0) | (t_max <= T_MIN_CONST) | (far < next_entry)
+        resolved = (row > 0) | (t_max <= t_min) | (far < next_entry)
         return (k < n) & jnp.logical_not(jnp.all(resolved))
 
     init = (jnp.int32(0), jnp.zeros((TILE, CLUSTER_SIZE), jnp.int32))
@@ -642,14 +972,15 @@ def _search_specs(n_tiles, C):
     )
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _closest_impl(tri_pack, lists, counts, entries, rays8, interpret=False):
+@partial(jax.jit, static_argnames=("t_min", "interpret"))
+def _closest_impl(tri_pack, lists, counts, entries, rays8, t_min,
+                  interpret=False):
     B = rays8.shape[0]
     n_tiles = B // TILE
     specs = _search_specs(n_tiles, lists.shape[1])
     T = tri_pack.shape[0] // ROWS * CLUSTER_SIZE
     t, i = pl.pallas_call(
-        _closest_kernel,
+        partial(_closest_kernel, t_min=t_min),
         out_shape=[
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
@@ -667,14 +998,15 @@ def _closest_impl(tri_pack, lists, counts, entries, rays8, interpret=False):
     return t[:, 0], i[:, 0]
 
 
-@partial(jax.jit, static_argnames=("interpret",))
-def _anyhit_impl(tri_pack, lists, counts, entries, rays8, interpret=False):
+@partial(jax.jit, static_argnames=("t_min", "interpret"))
+def _anyhit_impl(tri_pack, lists, counts, entries, rays8, t_min,
+                 interpret=False):
     B = rays8.shape[0]
     n_tiles = B // TILE
     specs = _search_specs(n_tiles, lists.shape[1])
     T = tri_pack.shape[0] // ROWS * CLUSTER_SIZE
     (occ,) = pl.pallas_call(
-        _anyhit_kernel,
+        partial(_anyhit_kernel, t_min=t_min),
         out_shape=[jax.ShapeDtypeStruct((B, 1), jnp.int32)],
         out_specs=[
             pl.BlockSpec((TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
@@ -688,16 +1020,16 @@ def _anyhit_impl(tri_pack, lists, counts, entries, rays8, interpret=False):
     return occ[:, 0] > 0
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("t_min", "interpret"))
 def _closest_super_impl(tri_pack, bounds_pack, lists, counts, entries, rays8,
-                        interpret=False):
+                        t_min, interpret=False):
     B = rays8.shape[0]
     n_tiles = B // TILE
     specs = _search_specs(n_tiles, lists.shape[1])
     specs["in_specs"].append(pl.BlockSpec(memory_space=pltpu.VMEM))
     T = tri_pack.shape[0] // ROWS * CLUSTER_SIZE
     t, i = pl.pallas_call(
-        _closest_super_kernel,
+        partial(_closest_super_kernel, t_min=t_min),
         out_shape=[
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.int32),
@@ -716,16 +1048,16 @@ def _closest_super_impl(tri_pack, bounds_pack, lists, counts, entries, rays8,
     return t[:, 0], i[:, 0]
 
 
-@partial(jax.jit, static_argnames=("interpret",))
+@partial(jax.jit, static_argnames=("t_min", "interpret"))
 def _anyhit_super_impl(tri_pack, bounds_pack, lists, counts, entries, rays8,
-                       interpret=False):
+                       t_min, interpret=False):
     B = rays8.shape[0]
     n_tiles = B // TILE
     specs = _search_specs(n_tiles, lists.shape[1])
     specs["in_specs"].append(pl.BlockSpec(memory_space=pltpu.VMEM))
     T = tri_pack.shape[0] // ROWS * CLUSTER_SIZE
     (occ,) = pl.pallas_call(
-        _anyhit_super_kernel,
+        partial(_anyhit_super_kernel, t_min=t_min),
         out_shape=[jax.ShapeDtypeStruct((B, 1), jnp.int32)],
         out_specs=[
             pl.BlockSpec((TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
@@ -744,14 +1076,15 @@ def _anyhit_super_impl(tri_pack, bounds_pack, lists, counts, entries, rays8,
 # selection); declare identically-zero tangents so AD never tries to
 # differentiate through the pallas_call (its jvp rule is unimplemented, and
 # stop_gradient alone does not stop jvp tracing through the jit boundary).
-@partial(jax.custom_jvp, nondiff_argnums=(5,))
-def _search(tri_pack, lists, counts, entries, rays8, interpret):
-    return _closest_impl(tri_pack, lists, counts, entries, rays8, interpret=interpret)
+@partial(jax.custom_jvp, nondiff_argnums=(5, 6))
+def _search(tri_pack, lists, counts, entries, rays8, t_min, interpret):
+    return _closest_impl(tri_pack, lists, counts, entries, rays8, t_min,
+                         interpret=interpret)
 
 
 @_search.defjvp
-def _search_jvp(interpret, primals, tangents):
-    t, i = _search(*primals, interpret)
+def _search_jvp(t_min, interpret, primals, tangents):
+    t, i = _search(*primals, t_min, interpret)
     import numpy as _np
 
     return (t, i), (
@@ -760,47 +1093,62 @@ def _search_jvp(interpret, primals, tangents):
     )
 
 
-@partial(jax.custom_jvp, nondiff_argnums=(5,))
-def _search_any(tri_pack, lists, counts, entries, rays8, interpret):
-    return _anyhit_impl(tri_pack, lists, counts, entries, rays8, interpret=interpret)
+@partial(jax.custom_jvp, nondiff_argnums=(5, 6))
+def _search_any(tri_pack, lists, counts, entries, rays8, t_min, interpret):
+    return _anyhit_impl(tri_pack, lists, counts, entries, rays8, t_min,
+                        interpret=interpret)
 
 
 @_search_any.defjvp
-def _search_any_jvp(interpret, primals, tangents):
-    occ = _search_any(*primals, interpret)
+def _search_any_jvp(t_min, interpret, primals, tangents):
+    occ = _search_any(*primals, t_min, interpret)
     import numpy as _np
 
     return occ, _np.zeros(occ.shape, jax.dtypes.float0)
 
 
-@partial(jax.custom_jvp, nondiff_argnums=(6,))
+@partial(jax.custom_jvp, nondiff_argnums=(6, 7))
 def _search_super(tri_pack, bounds_pack, lists, counts, entries, rays8,
-                  interpret):
+                  t_min, interpret):
     return _closest_super_impl(tri_pack, bounds_pack, lists, counts, entries,
-                               rays8, interpret=interpret)
+                               rays8, t_min, interpret=interpret)
 
 
 @_search_super.defjvp
-def _search_super_jvp(interpret, primals, tangents):
-    t, i = _search_super(*primals, interpret)
+def _search_super_jvp(t_min, interpret, primals, tangents):
+    t, i = _search_super(*primals, t_min, interpret)
     import numpy as _np
 
     return (t, i), (jnp.zeros_like(t), _np.zeros(i.shape, jax.dtypes.float0))
 
 
-@partial(jax.custom_jvp, nondiff_argnums=(6,))
+@partial(jax.custom_jvp, nondiff_argnums=(6, 7))
 def _search_any_super(tri_pack, bounds_pack, lists, counts, entries, rays8,
-                      interpret):
+                      t_min, interpret):
     return _anyhit_super_impl(tri_pack, bounds_pack, lists, counts, entries,
-                              rays8, interpret=interpret)
+                              rays8, t_min, interpret=interpret)
 
 
 @_search_any_super.defjvp
-def _search_any_super_jvp(interpret, primals, tangents):
-    occ = _search_any_super(*primals, interpret)
+def _search_any_super_jvp(t_min, interpret, primals, tangents):
+    occ = _search_any_super(*primals, t_min, interpret)
     import numpy as _np
 
     return occ, _np.zeros(occ.shape, jax.dtypes.float0)
+
+
+def _static_t_min(t_min) -> float:
+    """The kernels bake t_min at trace time, so it must be a static Python
+    scalar (PathTracerConfig.t_min always is). Raise loudly for tracers
+    instead of silently substituting a constant (round-4 VERDICT item 3)."""
+    try:
+        return float(t_min)
+    except TypeError as e:
+        raise TypeError(
+            "the Pallas intersection backend requires a static (Python "
+            "float) t_min — pass PathTracerConfig.t_min / a module "
+            f"constant, not a traced value (got {type(t_min).__name__})"
+        ) from e
 
 
 def _prep(scene, o, d, t_min, t_max, interpret, anyhit=False):
@@ -863,13 +1211,15 @@ def find_closest_soa(scene, o, d, t_min, t_max, interpret=None, times=None):
     Non-differentiable by design."""
     from mafrixraytracing_tpu.geometry.intersect import _closest_sphere_soa
 
+    t_min = _static_t_min(t_min)
     (scene, tri_pack, bounds, lists, counts, entries, rays8, B, t_max_arr,
      mega_t, mega_idx, interpret) = _prep(scene, o, d, t_min, t_max, interpret)
     if bounds is not None:
         tt, ti = _search_super(tri_pack, bounds, lists, counts, entries,
-                               rays8, interpret)
+                               rays8, t_min, interpret)
     else:
-        tt, ti = _search(tri_pack, lists, counts, entries, rays8, interpret)
+        tt, ti = _search(tri_pack, lists, counts, entries, rays8, t_min,
+                         interpret)
     tt, ti = tt[:B], ti[:B]
     mega_t, mega_idx = mega_t[:B], mega_idx[:B]
 
@@ -913,15 +1263,17 @@ def occluded_soa(scene, o, d, t_min, t_max, interpret=None, times=None):
     entirely (their capped t_max empties the cluster list)."""
     from mafrixraytracing_tpu.geometry.intersect import _closest_sphere_soa
 
+    t_min = _static_t_min(t_min)
     (scene, tri_pack, bounds, lists, counts, entries, rays8, B, t_max_arr,
      mega_t, mega_idx, interpret) = _prep(
         scene, o, d, t_min, t_max, interpret, anyhit=True
     )
     if bounds is not None:
         occ = _search_any_super(tri_pack, bounds, lists, counts, entries,
-                                rays8, interpret)
+                                rays8, t_min, interpret)
     else:
-        occ = _search_any(tri_pack, lists, counts, entries, rays8, interpret)
+        occ = _search_any(tri_pack, lists, counts, entries, rays8, t_min,
+                          interpret)
     occ = occ[:B] | (mega_idx[:B] >= 0)
     if scene.num_live_spheres > 0:
         ob = jax.tree_util.tree_map(lambda c: c[:B], o)

