@@ -53,8 +53,10 @@ def build_scene(width, height):
     return compile_scene(cornell_box(width=width, height=height))
 
 
-def count_queries_per_sample(scene, camera, width, height, config):
-    """Instrumented 1-spp pass: measured closest-hit + shadow queries."""
+def count_queries_per_sample(scene, camera, width, height, config,
+                             profile=False):
+    """Instrumented 1-spp pass: measured closest-hit + shadow queries
+    (optionally plus the per-bounce live-fraction profile)."""
     px, py = P.make_pixel_uv(width, height)
     B = px.shape[0]
     keys = rng.pixel_keys(jax.random.key(123), B)
@@ -64,9 +66,35 @@ def count_queries_per_sample(scene, camera, width, height, config):
 
     @jax.jit
     def stats(scene, rays):
-        return P.trace_stats(scene, rays, keys, config)
+        return P.trace_stats(scene, rays, keys, config,
+                             return_profile=profile)
 
-    return float(stats(scene, rays))
+    out = stats(scene, rays)
+    if profile:
+        q, prof = out
+        return float(q), [float(p) for p in prof]
+    return float(out)
+
+
+def calibrated_config(scene, camera, width, height, depth):
+    """Build the bench config: measure the per-bounce survival profile and
+    size the compaction buckets with 25% headroom (+2% floor) so the
+    unbiased population-control kill stays a rare safety valve. The query
+    numerator is then re-measured WITH the final schedule (trace_stats
+    mirrors the kills), keeping the rays/s accounting honest.
+    BENCH_COMPACT=0 disables compaction."""
+    base = P.PathTracerConfig(max_depth=depth)
+    _, prof = count_queries_per_sample(
+        scene, camera, width, height, base, profile=True
+    )
+    if os.environ.get("BENCH_COMPACT", "1") != "1" or depth < 2:
+        return base, prof
+    sched = [1.0] + [
+        min(1.0, p * 1.25 + 0.02) for p in prof[1:]
+    ]
+    import dataclasses
+
+    return dataclasses.replace(base, compact=tuple(sched)), prof
 
 
 def main():
@@ -77,7 +105,7 @@ def main():
 
     cs = build_scene(width, height)
     scene, camera = cs.scene, cs.camera
-    config = P.PathTracerConfig(max_depth=depth)
+    config, survival = calibrated_config(scene, camera, width, height, depth)
 
     queries_per_spp = count_queries_per_sample(
         scene, camera, width, height, config
@@ -123,6 +151,8 @@ def main():
                     "queries_per_spp": queries_per_spp,
                     "seconds_per_iter": dt,
                     "backend": jax.default_backend(),
+                    "compact": list(config.compact),
+                    "survival": [round(s, 4) for s in survival],
                 },
             }
         )

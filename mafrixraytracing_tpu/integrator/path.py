@@ -447,7 +447,10 @@ def _trace_physical(scene, rays, keys, config, times=None):
             times=rtimes if config.motion_blur else None,
             packed=packed_attrs,
         )
-        zero = V3.fill((0.0, 0.0, 0.0), (B,))
+        # local wavefront size: under compaction the wavefront shrinks
+        # between bounces, so B from the enclosing scope is stale here
+        Bw = hit.t.shape[0]
+        zero = V3.fill((0.0, 0.0, 0.0), (Bw,))
 
         # --- miss: constant background, then retire the path ---
         miss = alive & ~hit.valid
@@ -467,7 +470,7 @@ def _trace_physical(scene, rays, keys, config, times=None):
             # NEE-only: emission counted solely after specular chains
             w = jnp.where(prev_specular, 1.0, 0.0)
         else:
-            w = jnp.ones((B,), jnp.float32)
+            w = jnp.ones((Bw,), jnp.float32)
         if config.nee:
             # sphere lights: full power-2 MIS against the cone sampler's
             # solid-angle pdf (sh.light_pdf_sa, computed in the attribute
@@ -643,17 +646,26 @@ def _trace_mafrix(scene, rays, keys, config):
     return radiance
 
 
-def trace_stats(scene, rays: Rays, keys: Array, config: PathTracerConfig) -> Array:
+def trace_stats(scene, rays: Rays, keys: Array, config: PathTracerConfig,
+                return_profile: bool = False):
     """Count useful ray queries (closest-hit + shadow) for one wavefront —
     the measured ray accounting used by bench.py. Mirrors the physical
     estimator's control flow without shading, INCLUDING the true per-lane
     Russian-roulette survival rule (p = clip(max throughput, 0.05, 0.95)
-    with the same RNG stream as `_trace_physical`) so the bench numerator
-    tracks what the timed run actually traces at depth >= rr_start."""
+    with the same RNG stream as `_trace_physical`) AND the compaction
+    schedule's population-control kills, so the bench numerator tracks what
+    the timed run actually traces.
+
+    `return_profile=True` additionally returns the (max_depth,) live
+    fraction at the top of each bounce — the survival profile bench.py uses
+    to size the compaction buckets."""
     B = rays.origin.shape[0]
     alive = jnp.ones((B,), bool)
     thr = jnp.ones((B, 3), jnp.float32)
     queries = jnp.zeros((), jnp.float32)
+    pid = jnp.arange(B, dtype=jnp.int32)
+    buckets = compact_buckets(config, B) if config.compact else None
+    profile = []
     # shadow-query families per bounce: one batched area-light query when any
     # area light exists, one per LIVE point light, one per LIVE
     # emissive-sphere light — counted via the masks, not the padded table
@@ -666,7 +678,24 @@ def trace_stats(scene, rays: Rays, keys: Array, config: PathTracerConfig) -> Arr
     )
 
     for bounce in range(config.max_depth):
+        if buckets and bounce >= 1 and buckets[bounce] < buckets[bounce - 1]:
+            # mirror the compaction loop's population-control RR exactly:
+            # same per-lane RNG (salt 97), same (u, lane-id) threshold pair,
+            # so kill events — and hence the query counts — match the timed
+            # run. (The physical packing itself does not change counts:
+            # dead lanes were never counted.)
+            K = buckets[bounce]
+            u = rng.uniforms(rng.bounce_key(keys, bounce), 97)
+            u = jnp.where(alive, u, 2.0)
+            su, sp = lax.sort((u, pid), num_keys=2)
+            tau_u, tau_p = su[K - 1], sp[K - 1]
+            selected = alive & ((u < tau_u) | ((u == tau_u) & (pid <= tau_p)))
+            L = jnp.sum(alive.astype(jnp.float32))
+            comp = jnp.maximum(L / K, 1.0)
+            thr = jnp.where(selected[:, None], thr * comp, thr)
+            alive = selected
         bkey = rng.bounce_key(keys, bounce)
+        profile.append(jnp.mean(alive.astype(jnp.float32)))
         queries = queries + jnp.sum(alive)  # closest-hit queries this bounce
         hit, sh = _intersect(scene, rays, config, alive=None if bounce == 0 else alive)
         alive = alive & hit.valid & (sh.mtype != EMISSIVE)
@@ -687,6 +716,8 @@ def trace_stats(scene, rays: Rays, keys: Array, config: PathTracerConfig) -> Arr
             alive = alive & (u < p)
             thr = thr / p[:, None]
         thr = jnp.where(alive[:, None], thr, 0.0)
+    if return_profile:
+        return queries, jnp.stack(profile)
     return queries
 
 

@@ -79,6 +79,18 @@ assert EXIT_CHECK >= 1, f"MFX_EXIT_CHECK={EXIT_CHECK}: need >= 1"
 # path on tiny scenes.
 SUPER_MIN_C = int(_os.environ.get("MFX_SUPER_MIN_C", "128"))
 
+# Round 5 experiment: cull inside the kernel (slab test + in-register
+# bitonic ordering per ray tile) instead of the XLA-side dense (B, C) cull.
+# Measured on v5e (512k primary rays, spot): the in-kernel cull itself is
+# cheap (~0.3 us/tile — fused ANY-HIT beats the XLA-cull path 1.22 vs
+# 1.38 ms), but the fused CLOSEST walk pays two vector->scalar extractions
+# per visited cluster (head id + head entry of the rolled list), each of
+# which drains the VPU pipeline: 18.2 vs 8.2 ms. Until the walk can read
+# the sorted list through SMEM again (split cull/walk kernels), the XLA
+# cull stays the default; the fused path remains available for sweeps
+# (MFX_FUSED_CULL=1) and is regression-tested in interpret mode.
+FUSED_CULL = _os.environ.get("MFX_FUSED_CULL", "0") == "1"
+
 # t_min arrives as a STATIC Python float (PathTracerConfig.t_min is a
 # hashable jit-static, and the NEE shadow epsilon is a module constant), so
 # it is baked into each kernel specialization at trace time — the Pallas
@@ -394,11 +406,13 @@ def _lane_roll(x, shift: int):
 
 
 def _lane_bitonic_sort(key, val):
-    """Ascending bitonic sort of a (1, CP) f32 key row with an i32 payload,
-    lanes only. Partner exchange `lane ^ j` is realized as two lane
-    rotations + select (the wrapped values land on lanes that discard
-    them). Ties broken by payload so the order is deterministic — the same
-    network as `_bitonic_argsort_rows`, in-register."""
+    """Ascending bitonic sort of an (8, CP) f32 key block with an i32
+    payload, lanes only (all 8 sublanes carry identical rows — Mosaic
+    handles (8, 128)-shaped masks natively but rejects (1, 128) i1
+    vectors). Partner exchange `lane ^ j` is realized as two lane rotations
+    + select (the wrapped values land on lanes that discard them). Ties
+    broken by payload so the order is deterministic — the same network as
+    `_bitonic_argsort_rows`, in-register."""
     lane = lax.broadcasted_iota(jnp.int32, key.shape, 1)
     n = key.shape[1]
     k = 2
@@ -410,9 +424,17 @@ def _lane_bitonic_sort(key, val):
             is_lo = (lane & j) == 0
             pk = jnp.where(is_lo, kl, kr)
             pv = jnp.where(is_lo, vl, vr)
-            take_min = ((lane & k) == 0) == is_lo
-            less = (pk < key) | ((pk == key) & (pv < val))
-            want = jnp.where(take_min, less, ~less)
+            # want = take_min ? less : !less with take_min = (bit_k == bit_j)
+            # of the lane id — computed in i32 (less ^ bit_k ^ bit_j):
+            # Mosaic cannot select between i1 vectors ("unsupported target
+            # bitwidth for truncation"), while mask-select over i32 and
+            # XORs of i32 lower fine.
+            aj = jnp.where(is_lo, 0, 1)
+            ak = jnp.where((lane & k) == 0, 0, 1)
+            less = jnp.where(
+                (pk < key) | ((pk == key) & (pv < val)), 1, 0
+            )
+            want = (less ^ ak ^ aj) == 1
             key = jnp.where(want, pk, key)
             val = jnp.where(want, pv, val)
             j //= 2
@@ -438,15 +460,18 @@ def _tile_cull(aabb_ref, rc, t_max):
         t1 = (aabb_ref[3 + a:4 + a, :] - oa) * inv
         tn = jnp.maximum(tn, jnp.minimum(t0, t1))
         tf = jnp.minimum(tf, jnp.maximum(t0, t1))
-    live = aabb_ref[6:7, :] > 0.5
+    B = ox.shape[0]
+    live = jnp.broadcast_to(aabb_ref[6:7, :], (B, CP)) > 0.5
     hitm = live & (tn <= tf) & (tf > 0.0) & (tn < t_max)
     entry = jnp.where(hitm, jnp.maximum(tn, 0.0), BIG)
     far = jnp.max(jnp.where(hitm, tf, -BIG), axis=1, keepdims=True)
     far = jnp.minimum(far, t_max)
     tile_entry = jnp.min(entry, axis=0, keepdims=True)        # (1, CP)
-    ids = lax.broadcasted_iota(jnp.int32, (1, CP), 1)
-    entry_s, ids_s = _lane_bitonic_sort(tile_entry, ids)
-    return entry_s, ids_s, far
+    # sort at (8, CP): Mosaic rejects (1, 128)-shaped i1 masks
+    key8 = jnp.broadcast_to(tile_entry, (8, CP))
+    ids8 = lax.broadcasted_iota(jnp.int32, (8, CP), 1)
+    entry_s, ids_s = _lane_bitonic_sort(key8, ids8)
+    return entry_s[0:1, :], ids_s[0:1, :], far
 
 
 def _head(vec):
@@ -675,6 +700,107 @@ def pack_aabbs(cmin, cmax):
         pad = jnp.zeros((8, CP - C), jnp.float32)
         rows = jnp.concatenate([rows, pad], axis=1)  # live = 0 on padding
     return rows
+
+
+def _fused_specs(n_tiles, with_bounds=False):
+    specs = [
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # aabb (8, CP), whole
+        pl.BlockSpec((TILE, 8), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),  # tri_pack, whole
+    ]
+    if with_bounds:
+        specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+    return dict(grid=(n_tiles,), in_specs=specs)
+
+
+@partial(jax.jit, static_argnames=("t_min", "interpret"))
+def _fused_closest_impl(tri_pack, aabbs, rays8, t_min, interpret=False):
+    B = rays8.shape[0]
+    T = tri_pack.shape[0] // ROWS * CLUSTER_SIZE
+    t, i = pl.pallas_call(
+        partial(_fused_closest_kernel, t_min=t_min),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=50 * B * T // 4, bytes_accessed=B * 64 + T * 64,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+        **_fused_specs(B // TILE),
+    )(aabbs, rays8, tri_pack)
+    return t[:, 0], i[:, 0]
+
+
+@partial(jax.jit, static_argnames=("t_min", "interpret"))
+def _fused_anyhit_impl(tri_pack, aabbs, rays8, t_min, interpret=False):
+    B = rays8.shape[0]
+    T = tri_pack.shape[0] // ROWS * CLUSTER_SIZE
+    (occ,) = pl.pallas_call(
+        partial(_fused_anyhit_kernel, t_min=t_min),
+        out_shape=[jax.ShapeDtypeStruct((B, 1), jnp.int32)],
+        out_specs=[
+            pl.BlockSpec((TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=45 * B * T // 8, bytes_accessed=B * 64 + T * 64,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+        **_fused_specs(B // TILE),
+    )(aabbs, rays8, tri_pack)
+    return occ[:, 0] > 0
+
+
+@partial(jax.jit, static_argnames=("t_min", "interpret"))
+def _fused_closest_super_impl(tri_pack, bounds_pack, aabbs, rays8, t_min,
+                              interpret=False):
+    B = rays8.shape[0]
+    T = tri_pack.shape[0] // ROWS * CLUSTER_SIZE
+    t, i = pl.pallas_call(
+        partial(_fused_closest_super_kernel, t_min=t_min),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+        ],
+        out_specs=[
+            pl.BlockSpec((TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=50 * B * T // 16, bytes_accessed=B * 64 + T * 64,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+        **_fused_specs(B // TILE, with_bounds=True),
+    )(aabbs, rays8, tri_pack, bounds_pack)
+    return t[:, 0], i[:, 0]
+
+
+@partial(jax.jit, static_argnames=("t_min", "interpret"))
+def _fused_anyhit_super_impl(tri_pack, bounds_pack, aabbs, rays8, t_min,
+                             interpret=False):
+    B = rays8.shape[0]
+    T = tri_pack.shape[0] // ROWS * CLUSTER_SIZE
+    (occ,) = pl.pallas_call(
+        partial(_fused_anyhit_super_kernel, t_min=t_min),
+        out_shape=[jax.ShapeDtypeStruct((B, 1), jnp.int32)],
+        out_specs=[
+            pl.BlockSpec((TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=45 * B * T // 32, bytes_accessed=B * 64 + T * 64,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+        **_fused_specs(B // TILE, with_bounds=True),
+    )(aabbs, rays8, tri_pack, bounds_pack)
+    return occ[:, 0] > 0
 
 
 # ---------------------------------------------------------------------------
@@ -1137,6 +1263,64 @@ def _search_any_super_jvp(t_min, interpret, primals, tangents):
     return occ, _np.zeros(occ.shape, jax.dtypes.float0)
 
 
+# fused-cull variants (same zero-tangent contract)
+@partial(jax.custom_jvp, nondiff_argnums=(3, 4))
+def _search_fused(tri_pack, aabbs, rays8, t_min, interpret):
+    return _fused_closest_impl(tri_pack, aabbs, rays8, t_min,
+                               interpret=interpret)
+
+
+@_search_fused.defjvp
+def _search_fused_jvp(t_min, interpret, primals, tangents):
+    t, i = _search_fused(*primals, t_min, interpret)
+    import numpy as _np
+
+    return (t, i), (jnp.zeros_like(t), _np.zeros(i.shape, jax.dtypes.float0))
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(3, 4))
+def _search_any_fused(tri_pack, aabbs, rays8, t_min, interpret):
+    return _fused_anyhit_impl(tri_pack, aabbs, rays8, t_min,
+                              interpret=interpret)
+
+
+@_search_any_fused.defjvp
+def _search_any_fused_jvp(t_min, interpret, primals, tangents):
+    occ = _search_any_fused(*primals, t_min, interpret)
+    import numpy as _np
+
+    return occ, _np.zeros(occ.shape, jax.dtypes.float0)
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(4, 5))
+def _search_fused_super(tri_pack, bounds_pack, aabbs, rays8, t_min, interpret):
+    return _fused_closest_super_impl(tri_pack, bounds_pack, aabbs, rays8,
+                                     t_min, interpret=interpret)
+
+
+@_search_fused_super.defjvp
+def _search_fused_super_jvp(t_min, interpret, primals, tangents):
+    t, i = _search_fused_super(*primals, t_min, interpret)
+    import numpy as _np
+
+    return (t, i), (jnp.zeros_like(t), _np.zeros(i.shape, jax.dtypes.float0))
+
+
+@partial(jax.custom_jvp, nondiff_argnums=(4, 5))
+def _search_any_fused_super(tri_pack, bounds_pack, aabbs, rays8, t_min,
+                            interpret):
+    return _fused_anyhit_super_impl(tri_pack, bounds_pack, aabbs, rays8,
+                                    t_min, interpret=interpret)
+
+
+@_search_any_fused_super.defjvp
+def _search_any_fused_super_jvp(t_min, interpret, primals, tangents):
+    occ = _search_any_fused_super(*primals, t_min, interpret)
+    import numpy as _np
+
+    return occ, _np.zeros(occ.shape, jax.dtypes.float0)
+
+
 def _static_t_min(t_min) -> float:
     """The kernels bake t_min at trace time, so it must be a static Python
     scalar (PathTracerConfig.t_min always is). Raise loudly for tracers
@@ -1151,11 +1335,17 @@ def _static_t_min(t_min) -> float:
         ) from e
 
 
-def _prep(scene, o, d, t_min, t_max, interpret, anyhit=False):
+def _prep(scene, o, d, t_min, t_max, interpret, anyhit=False, fused=False):
     """Shared preamble: detach, pad to a TILE multiple, dense mega-triangle
     test (capping t_max so the cull prunes everything behind the first mega
     hit), cull, pack. o, d: V3 of (B,) columns. Returns the mega results
-    for the caller to merge."""
+    for the caller to merge.
+
+    `fused=True` skips the XLA cull entirely (the kernel culls in VMEM —
+    see the fused-kernel block comment): the `lists/counts/entries` slots
+    hold the packed (8, CP) AABB table instead, `far` in the ray record is
+    unused (computed in-kernel), and the batch only needs TILE alignment
+    (no SMEM GROUP blocking)."""
     from mafrixraytracing_tpu.core.v3 import V3
 
     if interpret is None:
@@ -1164,7 +1354,7 @@ def _prep(scene, o, d, t_min, t_max, interpret, anyhit=False):
     d = jax.tree_util.tree_map(lax.stop_gradient, d)
     scene = jax.tree_util.tree_map(lax.stop_gradient, scene)
     B = o.x.shape[0]
-    align = TILE * GROUP  # SMEM list blocks cover GROUP tiles at a time
+    align = TILE if fused else TILE * GROUP  # SMEM blocks cover GROUP tiles
     Bp = ((B + align - 1) // align) * align
     t_max_arr = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (B,))
     if Bp != B:
@@ -1188,18 +1378,26 @@ def _prep(scene, o, d, t_min, t_max, interpret, anyhit=False):
     # two-level path for large scenes: cull at SUPERcluster granularity
     # (16x smaller dense pass; the kernel refines children in VMEM)
     use_super = scene.cluster_min.shape[0] > SUPER_MIN_C
-    if use_super:
-        lists, counts, entries, far = _cull(
-            o, d, t_max_k, scene.super_min, scene.super_max
-        )
-        bounds = pack_bounds(scene)
+    bounds = pack_bounds(scene) if use_super else None
+    if fused:
+        if use_super:
+            aabbs = pack_aabbs(scene.super_min, scene.super_max)
+        else:
+            aabbs = pack_aabbs(scene.cluster_min, scene.cluster_max)
+        rays8 = _pack_rays(o, d, t_max_k, jnp.zeros_like(t_max_k))
+        search_args = (aabbs,)
     else:
-        lists, counts, entries, far = _cull(
-            o, d, t_max_k, scene.cluster_min, scene.cluster_max
-        )
-        bounds = None
-    rays8 = _pack_rays(o, d, t_max_k, far)
-    return (scene, pack_tris(scene), bounds, lists, counts, entries, rays8, B,
+        if use_super:
+            lists, counts, entries, far = _cull(
+                o, d, t_max_k, scene.super_min, scene.super_max
+            )
+        else:
+            lists, counts, entries, far = _cull(
+                o, d, t_max_k, scene.cluster_min, scene.cluster_max
+            )
+        rays8 = _pack_rays(o, d, t_max_k, far)
+        search_args = (lists, counts, entries)
+    return (scene, pack_tris(scene), bounds, search_args, rays8, B,
             t_max_arr, mega_t, mega_idx, interpret)
 
 
@@ -1212,14 +1410,20 @@ def find_closest_soa(scene, o, d, t_min, t_max, interpret=None, times=None):
     from mafrixraytracing_tpu.geometry.intersect import _closest_sphere_soa
 
     t_min = _static_t_min(t_min)
-    (scene, tri_pack, bounds, lists, counts, entries, rays8, B, t_max_arr,
-     mega_t, mega_idx, interpret) = _prep(scene, o, d, t_min, t_max, interpret)
-    if bounds is not None:
-        tt, ti = _search_super(tri_pack, bounds, lists, counts, entries,
-                               rays8, t_min, interpret)
+    (scene, tri_pack, bounds, sargs, rays8, B, t_max_arr,
+     mega_t, mega_idx, interpret) = _prep(scene, o, d, t_min, t_max,
+                                          interpret, fused=FUSED_CULL)
+    if FUSED_CULL:
+        if bounds is not None:
+            tt, ti = _search_fused_super(tri_pack, bounds, *sargs, rays8,
+                                         t_min, interpret)
+        else:
+            tt, ti = _search_fused(tri_pack, *sargs, rays8, t_min, interpret)
+    elif bounds is not None:
+        tt, ti = _search_super(tri_pack, bounds, *sargs, rays8, t_min,
+                               interpret)
     else:
-        tt, ti = _search(tri_pack, lists, counts, entries, rays8, t_min,
-                         interpret)
+        tt, ti = _search(tri_pack, *sargs, rays8, t_min, interpret)
     tt, ti = tt[:B], ti[:B]
     mega_t, mega_idx = mega_t[:B], mega_idx[:B]
 
@@ -1264,16 +1468,21 @@ def occluded_soa(scene, o, d, t_min, t_max, interpret=None, times=None):
     from mafrixraytracing_tpu.geometry.intersect import _closest_sphere_soa
 
     t_min = _static_t_min(t_min)
-    (scene, tri_pack, bounds, lists, counts, entries, rays8, B, t_max_arr,
+    (scene, tri_pack, bounds, sargs, rays8, B, t_max_arr,
      mega_t, mega_idx, interpret) = _prep(
-        scene, o, d, t_min, t_max, interpret, anyhit=True
+        scene, o, d, t_min, t_max, interpret, anyhit=True, fused=FUSED_CULL
     )
-    if bounds is not None:
-        occ = _search_any_super(tri_pack, bounds, lists, counts, entries,
-                                rays8, t_min, interpret)
+    if FUSED_CULL:
+        if bounds is not None:
+            occ = _search_any_fused_super(tri_pack, bounds, *sargs, rays8,
+                                          t_min, interpret)
+        else:
+            occ = _search_any_fused(tri_pack, *sargs, rays8, t_min, interpret)
+    elif bounds is not None:
+        occ = _search_any_super(tri_pack, bounds, *sargs, rays8, t_min,
+                                interpret)
     else:
-        occ = _search_any(tri_pack, lists, counts, entries, rays8, t_min,
-                          interpret)
+        occ = _search_any(tri_pack, *sargs, rays8, t_min, interpret)
     occ = occ[:B] | (mega_idx[:B] >= 0)
     if scene.num_live_spheres > 0:
         ob = jax.tree_util.tree_map(lambda c: c[:B], o)

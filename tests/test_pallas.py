@@ -233,3 +233,21 @@ def test_t_min_honored_by_both_backends():
     t_lo, _ = ip.find_closest(cs.scene, rays, 1e-3, 1e8, interpret=True)
     t_hi, _ = ip.find_closest(cs.scene, rays, 1.95, 1e8, interpret=True)
     assert float(t_hi[0]) > float(t_lo[0]) + 0.01, (t_lo[0], t_hi[0])
+
+
+def test_fused_cull_matches_list_path(monkeypatch):
+    """The in-kernel-cull kernels (MFX_FUSED_CULL=1) must agree exactly
+    with the default XLA-cull + SMEM-list kernels, single- and two-level."""
+    cs = compile_scene(cornell_box())
+    rays = _random_rays(192, (0.1, 0.9, 1.2), seed=11)
+    t0, i0 = ip.find_closest(cs.scene, rays, T_MIN, 1e8, interpret=True)
+    occ0 = ip.occluded(cs.scene, rays, T_MIN, jnp.full((192,), 2.5),
+                       interpret=True)
+    monkeypatch.setattr(ip, "FUSED_CULL", True)
+    t1, i1 = ip.find_closest(cs.scene, rays, T_MIN, 1e8, interpret=True)
+    occ1 = ip.occluded(cs.scene, rays, T_MIN, jnp.full((192,), 2.5),
+                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(occ0), np.asarray(occ1))
