@@ -152,37 +152,41 @@ SAVE_ISECT_ATTRS = jax.checkpoint_policies.save_only_these_names(
 )
 
 
-def _coherence_key(scene, rays: Rays, alive) -> Array:
+def _coherence_key_soa(scene, o, d, alive) -> Array:
     """21-bit wavefront-coherence sort key: origin Morton (4 bits/axis,
     dominant) | direction octant (3) | direction Morton (2 bits/axis). For
     primary rays (shared origin) the direction bits reproduce a screen-tile
     order; for bounce rays the origin bits group rays leaving nearby
     surface points. Dead rays sort to the end, packing whole tiles that the
-    intersector then skips (their t_max is 0)."""
+    intersector then skips (their t_max is 0). o, d: V3 of (B,) columns."""
     live_min = jnp.where(scene.cluster_min < 1e30, scene.cluster_min, jnp.inf)
     live_max = jnp.where(scene.cluster_max > -1e30, scene.cluster_max, -jnp.inf)
     lo = jnp.min(live_min, axis=0)
     span = jnp.maximum(jnp.max(live_max, axis=0) - lo, 1e-6)
-    o, d = rays.origin, rays.direction
 
-    def interleave(v, bits):
-        k = jnp.zeros(v.shape[0], jnp.int32)
+    def interleave(cols, bits):
+        k = jnp.zeros(cols[0].shape[0], jnp.int32)
         for b in range(bits):
             k = (
                 k
-                | ((v[:, 0] >> b & 1) << (3 * b + 2))
-                | ((v[:, 1] >> b & 1) << (3 * b + 1))
-                | ((v[:, 2] >> b & 1) << (3 * b))
+                | ((cols[0] >> b & 1) << (3 * b + 2))
+                | ((cols[1] >> b & 1) << (3 * b + 1))
+                | ((cols[2] >> b & 1) << (3 * b))
             )
         return k
 
-    q = jnp.clip(((o - lo) / span * 16.0).astype(jnp.int32), 0, 15)
-    octant = (
-        ((d[:, 0] > 0).astype(jnp.int32) << 2)
-        | ((d[:, 1] > 0).astype(jnp.int32) << 1)
-        | (d[:, 2] > 0).astype(jnp.int32)
+    q = tuple(
+        jnp.clip(((c - lo[a]) / span[a] * 16.0).astype(jnp.int32), 0, 15)
+        for a, c in enumerate(o)
     )
-    qd = jnp.clip(((d * 0.5 + 0.5) * 4.0).astype(jnp.int32), 0, 3)
+    octant = (
+        ((d.x > 0).astype(jnp.int32) << 2)
+        | ((d.y > 0).astype(jnp.int32) << 1)
+        | (d.z > 0).astype(jnp.int32)
+    )
+    qd = tuple(
+        jnp.clip(((c * 0.5 + 0.5) * 4.0).astype(jnp.int32), 0, 3) for c in d
+    )
     key = (interleave(q, 4) << 9) | (octant << 6) | interleave(qd, 2)
     return jnp.where(alive, key, jnp.int32(1) << 30)
 
@@ -296,39 +300,35 @@ def _population_rr(alive, thr_cols, keys, pid, bounce, K: int):
 
 def _compact_bounce_loop(scene, init, bounce_step, config):
     """Unrolled bounce loop with per-bounce wavefront shrinking (the scan
-    form needs a fixed carry shape). Returns (B, 3) radiance in the original
+    form needs a fixed carry shape). Carries flat (B,) columns end-to-end
+    (see the layout note below). Returns (B, 3) radiance in the original
     lane order."""
-    B = init[0].origin.shape[0]
+    B = init[0].shape[0]
     buckets = compact_buckets(config, B)
     carry, _ = bounce_step(init, 0)
     pid = jnp.arange(B, dtype=jnp.int32)
     frag_pid, frag_r = [], []
     for b in range(1, config.max_depth):
         K = buckets[b]
-        cols = _flatten_carry(carry)
-        Kp = cols[0].shape[0]
+        Kp = carry[0].shape[0]
         if K < Kp:
-            alive = cols[14].astype(bool)
+            alive = carry[I_ALIVE]
             selected, thr = _population_rr(
-                alive, cols[6:9], carry[6], pid, b, K
+                alive, carry[6:9], carry[I_KEYS], pid, b, K
             )
-            cols = (cols[0:6] + thr + cols[9:14]
-                    + (selected.astype(jnp.int32),) + cols[15:])
+            carry = (carry[0:6] + thr + carry[9:I_ALIVE]
+                     + (selected,) + carry[I_ALIVE + 1:])
             # stable pack: kept lanes first, in current (tile) order
             pos = jnp.arange(Kp, dtype=jnp.int32)
             ckey = jnp.where(selected, pos, pos + jnp.int32(1 << 30))
-            f, i = _permute_by_key(ckey, cols[0:14], cols[14:18] + (pid,))
-            cols = f + i[0:4]
-            pid_s = i[4]
+            cols, pid_s = _sort_flat(ckey, carry, pid)
             frag_pid.append(pid_s[K:])
             frag_r.append(tuple(c[K:] for c in cols[9:12]))
-            cols = tuple(c[:K] for c in cols)
+            carry = tuple(c[:K] for c in cols)
             pid = pid_s[:K]
-            carry = _unflatten_carry(cols)
         carry, _ = bounce_step(carry, b)
-    cols = _flatten_carry(carry)
     frag_pid.append(pid)
-    frag_r.append(cols[9:12])
+    frag_r.append(carry[9:12])
     all_pid = jnp.concatenate(frag_pid)
     rad = tuple(
         jnp.concatenate([fr[c] for fr in frag_r]) for c in range(3)
@@ -338,54 +338,55 @@ def _compact_bounce_loop(scene, init, bounce_step, config):
 
 
 # --- flat wavefront carry ----------------------------------------------------
-# The bounce `lax.scan` carries the wavefront as FLAT (B,) columns, never
-# (B, 3) matrices: while-loop carried buffers get XLA's default {1,0}
-# layout, which tiles (B, 3) as T(8,128) with the minor dim padded 3 -> 128
-# — a 42x memory-traffic tax on every fusion touching carry state (measured:
-# ~3 ms for a single (B,3) dot-product fusion at B=512k). Flat (B,) columns
-# have no padding; the (B, 3) views used inside the bounce body are local
-# temps whose layouts XLA picks freely.
+# The bounce loop (scan or unrolled) carries the wavefront as FLAT (B,)
+# columns, never (B, 3) matrices: materialized loop-boundary buffers get
+# XLA's default {1,0} layout, which tiles (B, 3) as T(8,128) with the minor
+# dim padded 3 -> 128 — a 42x memory-traffic tax on every fusion touching
+# carry state (measured: ~3 ms for a single (B,3) dot-product fusion at
+# B=512k; round-5 traces showed the compaction loop's Rays/.arr()
+# boundaries re-materializing padded (B, 3)/(B, 1) buffers at every
+# bounce). `bounce_step` therefore consumes and produces the flat tuple
+# directly — V3 views are built in place, and no stack/unstack pair exists
+# for XLA to (fail to) cancel.
+#
+# Column layout:
+#   0:3  origin   3:6  direction   6:9  throughput   9:12 radiance
+#   12   prev_pdf 13   time        14   alive (bool) 15   specular (bool)
+#   16   PRNG keys (typed key array)
+
+I_ALIVE, I_SPEC, I_KEYS = 14, 15, 16
 
 
-def _flatten_carry(carry):
-    rays, thr, rad, alive, pdf, spec, keys, times = carry
-    kd = jax.random.key_data(keys)  # (B, 2) uint32 under threefry
+def _flat_init(rays: Rays, keys, times, B):
+    one = jnp.ones((B,), jnp.float32)
+    zero = jnp.zeros((B,), jnp.float32)
     return (
         rays.origin[:, 0], rays.origin[:, 1], rays.origin[:, 2],
         rays.direction[:, 0], rays.direction[:, 1], rays.direction[:, 2],
-        thr[:, 0], thr[:, 1], thr[:, 2],
-        rad[:, 0], rad[:, 1], rad[:, 2],
-        pdf,
+        one, one, one,
+        zero, zero, zero,
+        one,                         # prev_pdf
         times,
-        alive.astype(jnp.int32),
-        spec.astype(jnp.int32),
-        kd[:, 0], kd[:, 1],
-    )
-
-
-def _unflatten_carry(c):
-    rays = Rays(origin=jnp.stack(c[0:3], axis=1),
-                direction=jnp.stack(c[3:6], axis=1))
-    keys = jax.random.wrap_key_data(jnp.stack(c[16:18], axis=1))
-    return (
-        rays,
-        jnp.stack(c[6:9], axis=1),
-        jnp.stack(c[9:12], axis=1),
-        c[14].astype(bool),
-        c[12],
-        c[15].astype(bool),
+        jnp.ones((B,), bool),        # alive
+        jnp.ones((B,), bool),        # camera "bounce" counts as specular
         keys,
-        c[13],
     )
 
 
-def _sort_flat(sort_key: Array, cols, pid: Array):
-    """Permute flat wavefront columns + pid by `sort_key`
-    (see `_permute_by_key`)."""
+def _sort_flat(sort_key: Array, carry, pid: Array):
+    """Permute the flat wavefront carry + pid by `sort_key` with ONE
+    multi-operand sort (see `_permute_by_key`). The typed key column is
+    sorted as its two uint32 data columns and re-wrapped."""
+    kd = jax.random.key_data(carry[I_KEYS])  # (B, 2) uint32 under threefry
     f, i = _permute_by_key(
-        sort_key, cols[0:14], cols[14:18] + (pid,)
+        sort_key,
+        carry[0:14],
+        (carry[I_ALIVE].astype(jnp.int32), carry[I_SPEC].astype(jnp.int32),
+         kd[:, 0], kd[:, 1], pid),
     )
-    return f + i[0:4], i[4]
+    keys = jax.random.wrap_key_data(jnp.stack(i[2:4], axis=1))
+    out = f + (i[0].astype(bool), i[1].astype(bool), keys)
+    return out, i[4]
 
 
 def trace_radiance(scene, rays: Rays, keys: Array, config: PathTracerConfig,
@@ -425,10 +426,17 @@ def _trace_physical(scene, rays, keys, config, times=None):
     packed_attrs = isect.packed_attr_table(scene)
 
     def bounce_step(carry, bounce):
-        (rays, throughput, radiance, alive, prev_pdf, prev_specular, keys,
-         rtimes) = carry
-        o, d = V3.of(rays.origin), V3.of(rays.direction)
-        thr, rad = V3.of(throughput), V3.of(radiance)
+        # flat-column carry (see layout above _flat_init): V3 views are
+        # built in place so no (B, 3) buffer ever crosses a loop boundary
+        o = V3(carry[0], carry[1], carry[2])
+        d = V3(carry[3], carry[4], carry[5])
+        thr = V3(carry[6], carry[7], carry[8])
+        rad = V3(carry[9], carry[10], carry[11])
+        prev_pdf = carry[12]
+        rtimes = carry[13]
+        alive = carry[I_ALIVE]
+        prev_specular = carry[I_SPEC]
+        keys = carry[I_KEYS]
         bkey = rng.bounce_key(keys, bounce)
 
         def occluded_fn(so, sd, t_min, t_max):
@@ -528,19 +536,11 @@ def _trace_physical(scene, rays, keys, config, times=None):
             alive = alive & survive
 
         thr = v3.where(alive, thr, zero)
-        return (Rays(origin=o.arr(), direction=d.arr()), thr.arr(), rad.arr(),
-                alive, bs.pdf, bs.specular, keys, rtimes), None
+        return (o.x, o.y, o.z, d.x, d.y, d.z,
+                thr.x, thr.y, thr.z, rad.x, rad.y, rad.z,
+                bs.pdf, rtimes, alive, bs.specular, keys), None
 
-    init = (
-        rays,
-        jnp.ones((B, 3), jnp.float32),
-        jnp.zeros((B, 3), jnp.float32),
-        jnp.ones((B,), bool),
-        jnp.full((B,), 1.0, jnp.float32),
-        jnp.ones((B,), bool),  # camera "bounce" counts as specular
-        keys,
-        times,
-    )
+    init = _flat_init(rays, keys, times, B)
     if config.compact and config.max_depth > 1:
         return _compact_bounce_loop(scene, init, bounce_step, config)
     if config.sort_secondary and config.max_depth > 1:
@@ -558,27 +558,23 @@ def _trace_physical(scene, rays, keys, config, times=None):
         pid = jnp.arange(B, dtype=jnp.int32)
         carry, _ = bounce_step(init, jnp.int32(0))
 
-        def sorted_step(cols_pid, bounce):
-            cols, pid = cols_pid
-            carry = _unflatten_carry(cols)
-            skey = _coherence_key(scene, carry[0], carry[3])
-            cols, pid = _sort_flat(skey, cols, pid)
-            carry, _ = bounce_step(_unflatten_carry(cols), bounce)
-            return (_flatten_carry(carry), pid), None
+        def sorted_step(carry_pid, bounce):
+            carry, pid = carry_pid
+            o = V3(carry[0], carry[1], carry[2])
+            d = V3(carry[3], carry[4], carry[5])
+            skey = _coherence_key_soa(scene, o, d, carry[I_ALIVE])
+            carry, pid = _sort_flat(skey, carry, pid)
+            carry, _ = bounce_step(carry, bounce)
+            return (carry, pid), None
 
-        (cols, pid), _ = lax.scan(
-            sorted_step, (_flatten_carry(carry), pid),
-            jnp.arange(1, config.max_depth),
+        (carry, pid), _ = lax.scan(
+            sorted_step, (carry, pid), jnp.arange(1, config.max_depth)
         )
         # unsort by pixel id — also a sort, not a scatter (42 ms vs 1.5 ms)
-        f, _ = _permute_by_key(pid, cols[9:12], ())
+        f, _ = _permute_by_key(pid, carry[9:12], ())
         return jnp.stack(f, axis=1)
-    cols, _ = lax.scan(
-        lambda c, b: (_flatten_carry(bounce_step(_unflatten_carry(c), b)[0]), None),
-        _flatten_carry(init),
-        jnp.arange(config.max_depth),
-    )
-    return jnp.stack(cols[9:12], axis=1)
+    carry, _ = lax.scan(bounce_step, init, jnp.arange(config.max_depth))
+    return jnp.stack(carry[9:12], axis=1)
 
 
 def _trace_mafrix(scene, rays, keys, config):

@@ -231,9 +231,29 @@ def _mt_terms(rc, tri_ref, c):
     return t, valid
 
 
+def _ray_rows(ray_refs, r):
+    """Extract one tile's ray columns from the 8 per-component refs.
+
+    `ray_refs` = (ox oy oz dx dy dz tmax far) refs of (8, TILE) blocks over
+    (n_tiles, TILE) arrays that are pure BITCASTS of the integrator's flat
+    (B,) columns; `r = program_id % 8` selects this tile's row. Returns
+    (rc6, t_max, far) as (TILE, 1) columns via in-kernel transposes.
+
+    Why this shape: a (B, 8) ray record array tiles as T(8,128) with the
+    minor dim padded 8 -> 128, and — much worse — XLA lowers the fusions
+    PRODUCING its concat operands in the same degenerate (*, 1)-window
+    layout, executing all the shading math fused with them at 1/128 lane
+    utilization (round-5 trace: 10+ ms "elementwise" fusions whose outputs
+    fed the ray-record concat). Component-major (n_tiles, TILE) operands
+    are layout-identical to dense (B,) columns, so the producing fusions
+    stay dense and the only cost is 8 in-register transposes per tile."""
+    cols = tuple(ref[pl.ds(r, 1), :].T for ref in ray_refs)
+    return cols[0:6], cols[6], cols[7]
+
+
 def _closest_kernel(
-    list_ref, count_ref, entry_ref, ray_ref, tri_ref, t_out, i_out,
-    *, t_min
+    list_ref, count_ref, entry_ref, ox, oy, oz, dx, dy, dz, tm, fr,
+    tri_ref, t_out, i_out, *, t_min
 ):
     """One ray tile vs. its surviving clusters, front-to-back with chunked
     early termination.
@@ -242,9 +262,10 @@ def _closest_kernel(
                tile's row is `program_id % GROUP` (see `_search_specs`)
     count_ref: (GROUP, 1) i32 SMEM block — number of survivors
     entry_ref: (GROUP, C) f32 SMEM block — tile-min entry distances
-    ray_ref:   (TILE, 8) rays [ox oy oz dx dy dz tmax far] (VMEM block)
+    ox..fr:    (8, TILE) component-major ray blocks (see `_ray_rows`)
     tri_ref:   (C*16, 128) packed component-major triangles (VMEM, full)
-    t_out/i_out: (TILE, 1) best hit distance / global tri index (-1 = miss)
+    t_out/i_out: (8, TILE) best hit distance / global tri index (-1 = miss),
+               one row per tile (bitcast back to (B,) outside)
 
     Best-hit bookkeeping is *deferred per lane*: each (ray, lane) slot keeps
     its own running best (t, tri id) with two selects per cluster, and the
@@ -262,9 +283,7 @@ def _closest_kernel(
     so miss/sky rays resolve too instead of pinning the tile at t_max.
     """
     r = pl.program_id(0) % GROUP
-    rc = tuple(ray_ref[:, i : i + 1] for i in range(6))
-    t_max = ray_ref[:, 6:7]
-    far = ray_ref[:, 7:8]
+    rc, t_max, far = _ray_rows((ox, oy, oz, dx, dy, dz, tm, fr), r)
     lanes = lax.broadcasted_iota(jnp.int32, (TILE, CLUSTER_SIZE), 1)
     n = count_ref[r, 0]
 
@@ -318,19 +337,18 @@ def _closest_kernel(
         keepdims=True,
     )
     hit = row_t < t_max
-    t_out[:] = row_t
-    i_out[:] = jnp.where(hit, row_i, -1)
+    t_out[pl.ds(r, 1), :] = row_t.T
+    i_out[pl.ds(r, 1), :] = jnp.where(hit, row_i, -1).T
 
 
-def _anyhit_kernel(list_ref, count_ref, entry_ref, ray_ref, tri_ref, occ_out,
-                   *, t_min):
+def _anyhit_kernel(list_ref, count_ref, entry_ref, ox, oy, oz, dx, dy, dz,
+                   tm, fr, tri_ref, occ_out, *, t_min):
     """Shadow-ray occlusion: exits as soon as every live lane is blocked.
-    Same layout as `_closest_kernel`; occ_out: (TILE, 1) i32 (1 = occluded).
-    No best-hit bookkeeping — any valid hit in (t_min, t_max) occludes."""
+    Same layout as `_closest_kernel`; occ_out: (8, TILE) i32 (1 = occluded),
+    one row per tile. No best-hit bookkeeping — any valid hit in
+    (t_min, t_max) occludes."""
     r = pl.program_id(0) % GROUP
-    rc = tuple(ray_ref[:, i : i + 1] for i in range(6))
-    t_max = ray_ref[:, 6:7]
-    far = ray_ref[:, 7:8]
+    rc, t_max, far = _ray_rows((ox, oy, oz, dx, dy, dz, tm, fr), r)
     n = count_ref[r, 0]
 
     # `blocked` is carried as a per-lane i32 accumulator (Mosaic cannot
@@ -364,7 +382,7 @@ def _anyhit_kernel(list_ref, count_ref, entry_ref, ray_ref, tri_ref, occ_out,
 
     init = (jnp.int32(0), jnp.zeros((TILE, CLUSTER_SIZE), jnp.int32))
     _, blocked = lax.while_loop(chunk_cond, chunk_body, init)
-    occ_out[:] = jnp.max(blocked, axis=1, keepdims=True)
+    occ_out[pl.ds(r, 1), :] = jnp.max(blocked, axis=1, keepdims=True).T
 
 
 # ---------------------------------------------------------------------------
@@ -600,7 +618,7 @@ def _fused_closest_super_kernel(aabb_ref, ray_ref, tri_ref, bounds_ref,
         k, kv, iv, best_t, best_i = state
         s = _head(iv)
         row_best = jnp.min(best_t, axis=1, keepdims=True)
-        chit = _cluster_refine_hits(ray_ref, bounds_ref, s, row_best)
+        chit = _cluster_refine_hits(rc, bounds_ref, s, row_best)
 
         bb = (best_t, best_i)
         for j in range(SUPER):
@@ -656,7 +674,7 @@ def _fused_anyhit_super_kernel(aabb_ref, ray_ref, tri_ref, bounds_ref,
         s = _head(iv)
         open_ = jnp.max(blocked, axis=1, keepdims=True) == 0
         limit = jnp.where(open_, t_max, 0.0)
-        chit = _cluster_refine_hits(ray_ref, bounds_ref, s, limit)
+        chit = _cluster_refine_hits(rc, bounds_ref, s, limit)
 
         for j in range(SUPER):
             blocked = lax.cond(
@@ -808,19 +826,20 @@ def _fused_anyhit_super_impl(tri_pack, bounds_pack, aabbs, rays8, t_min,
 # ---------------------------------------------------------------------------
 
 
-def _cluster_refine_hits(ray_ref, bounds_ref, s, limit):
+def _cluster_refine_hits(rc, bounds_ref, s, limit):
     """(TILE, SUPER) bool: which child clusters of supercluster `s` some ray
     could still hit within its per-ray `limit` (TILE, 1). One slab test of
     the tile's rays against the 16 child AABBs held as component rows in
     `bounds_ref` ((S*8, SUPER): [cminx; cminy; cminz; cmaxx; cmaxy; cmaxz;
-    live; pad] per supercluster). The entry comparison is INCLUSIVE — a flat
-    child has entry == exit == limit (the round-3 flat-cluster lesson)."""
+    live; pad] per supercluster). `rc`: six (TILE, 1) ray columns. The entry
+    comparison is INCLUSIVE — a flat child has entry == exit == limit (the
+    round-3 flat-cluster lesson)."""
     bb = bounds_ref[pl.ds(pl.multiple_of(s * 8, 8), 8), :]  # (8, SUPER)
     tn = jnp.full((TILE, SUPER), -BIG, jnp.float32)
     tf = jnp.full((TILE, SUPER), BIG, jnp.float32)
     for a in range(3):
-        oa = ray_ref[:, a : a + 1]
-        da = ray_ref[:, 3 + a : 4 + a]
+        oa = rc[a]
+        da = rc[3 + a]
         safe = jnp.where(jnp.abs(da) > 1e-12, da,
                          jnp.where(da >= 0, 1e-12, -1e-12))
         r0 = pl.reciprocal(safe, approx=True)
@@ -834,17 +853,15 @@ def _cluster_refine_hits(ray_ref, bounds_ref, s, limit):
 
 
 def _closest_super_kernel(
-    list_ref, count_ref, entry_ref, ray_ref, tri_ref, bounds_ref, t_out, i_out,
-    *, t_min
+    list_ref, count_ref, entry_ref, ox, oy, oz, dx, dy, dz, tm, fr,
+    tri_ref, bounds_ref, t_out, i_out, *, t_min
 ):
     """Supercluster walk: like `_closest_kernel`, but each list entry is a
     SUPERcluster; its 16 child clusters are slab-refined in VMEM and only
     children some ray can hit run the (128 x 128) triangle test (guarded by
     `lax.cond` on the per-child any-ray reduce)."""
     r = pl.program_id(0) % GROUP
-    rc = tuple(ray_ref[:, i : i + 1] for i in range(6))
-    t_max = ray_ref[:, 6:7]
-    far = ray_ref[:, 7:8]
+    rc, t_max, far = _ray_rows((ox, oy, oz, dx, dy, dz, tm, fr), r)
     lanes = lax.broadcasted_iota(jnp.int32, (TILE, CLUSTER_SIZE), 1)
     n = count_ref[r, 0]
 
@@ -859,7 +876,7 @@ def _closest_super_kernel(
         k, best_t, best_i = state
         s = list_ref[r, k]
         row_best = jnp.min(best_t, axis=1, keepdims=True)  # (TILE, 1)
-        chit = _cluster_refine_hits(ray_ref, bounds_ref, s, row_best)
+        chit = _cluster_refine_hits(rc, bounds_ref, s, row_best)
 
         # static unroll over the 16 children (lane slices must be static in
         # Mosaic); each child's triangle test is guarded by a scalar
@@ -895,20 +912,18 @@ def _closest_super_kernel(
         keepdims=True,
     )
     hit = row_t < t_max
-    t_out[:] = row_t
-    i_out[:] = jnp.where(hit, row_i, -1)
+    t_out[pl.ds(r, 1), :] = row_t.T
+    i_out[pl.ds(r, 1), :] = jnp.where(hit, row_i, -1).T
 
 
 def _anyhit_super_kernel(
-    list_ref, count_ref, entry_ref, ray_ref, tri_ref, bounds_ref, occ_out,
-    *, t_min
+    list_ref, count_ref, entry_ref, ox, oy, oz, dx, dy, dz, tm, fr,
+    tri_ref, bounds_ref, occ_out, *, t_min
 ):
     """Supercluster any-hit: child refinement + per-child `lax.cond`; exits
     as soon as every live lane is blocked."""
     r = pl.program_id(0) % GROUP
-    rc = tuple(ray_ref[:, i : i + 1] for i in range(6))
-    t_max = ray_ref[:, 6:7]
-    far = ray_ref[:, 7:8]
+    rc, t_max, far = _ray_rows((ox, oy, oz, dx, dy, dz, tm, fr), r)
     n = count_ref[r, 0]
 
     def test_cluster(c, blocked):
@@ -922,7 +937,7 @@ def _anyhit_super_kernel(
         # rays already blocked need no more tests: zero their limit
         open_ = jnp.max(blocked, axis=1, keepdims=True) == 0
         limit = jnp.where(open_, t_max, 0.0)
-        chit = _cluster_refine_hits(ray_ref, bounds_ref, s, limit)
+        chit = _cluster_refine_hits(rc, bounds_ref, s, limit)
 
         # static unroll (see _closest_super_kernel)
         for j in range(SUPER):
@@ -943,7 +958,7 @@ def _anyhit_super_kernel(
 
     init = (jnp.int32(0), jnp.zeros((TILE, CLUSTER_SIZE), jnp.int32))
     _, blocked = lax.while_loop(super_cond, super_body, init)
-    occ_out[:] = jnp.max(blocked, axis=1, keepdims=True)
+    occ_out[pl.ds(r, 1), :] = jnp.max(blocked, axis=1, keepdims=True).T
 
 
 def pack_bounds(scene):
@@ -1071,15 +1086,41 @@ def _mega_hits(scene, o, d, t_min, t_max):
 
 
 def _pack_rays(o, d, t_max, far):
-    """(B, 8) ray records [ox oy oz dx dy dz tmax far] from V3 columns."""
-    return jnp.stack([o.x, o.y, o.z, d.x, d.y, d.z, t_max, far], axis=1)
+    """8 component-major (n_tiles, TILE) ray arrays [ox oy oz dx dy dz tmax
+    far] — each a pure BITCAST of a flat (B,) column (same physical bytes:
+    (B,) T(1024) and (n_tiles, 128) T(8,128) are both row-major dense), so
+    no XLA op materializes a lane-padded ray record (see `_ray_rows`)."""
+    n_tiles = o.x.shape[0] // TILE
+    return tuple(
+        c.reshape(n_tiles, TILE)
+        for c in (o.x, o.y, o.z, d.x, d.y, d.z, t_max, far)
+    )
+
+
+def _ray_in_specs():
+    """Input specs for the 8 component-major ray arrays: (8, TILE) blocks
+    revisited for 8 consecutive grid steps (the index map changes every 8
+    tiles, so Pallas fetches each block once)."""
+    return [
+        pl.BlockSpec((8, TILE), lambda g: (g // 8, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in range(8)
+    ]
+
+
+def _out_spec():
+    """Output spec matching the component-major layout: (8, TILE) blocks of
+    an (n_tiles, TILE) array; the kernel writes row `program_id % 8` and the
+    block flushes when the index changes (standard revisiting output)."""
+    return pl.BlockSpec((8, TILE), lambda g: (g // 8, 0),
+                        memory_space=pltpu.VMEM)
 
 
 def _search_specs(n_tiles, C):
     """Common grid spec: SMEM blocks of GROUP=8 tile rows for (lists,
     counts, entries) — SMEM block sublane counts must be multiples of 8, so
     each block carries 8 tiles' lists and the kernel reads row
-    `program_id % 8` — a per-tile VMEM ray block, and the whole packed
+    `program_id % 8` — 8 component-major ray arrays, and the whole packed
     triangle array resident in VMEM. Blocked SMEM (vs. scalar prefetch)
     keeps SMEM use at O(C) per step instead of O(tiles * C) total, which
     overflows the 1 MiB SMEM for large wavefronts."""
@@ -1092,110 +1133,100 @@ def _search_specs(n_tiles, C):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((GROUP, C), lambda g: (g // GROUP, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE, 8), lambda g: (g, 0), memory_space=pltpu.VMEM),
+            *_ray_in_specs(),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
     )
 
 
 @partial(jax.jit, static_argnames=("t_min", "interpret"))
-def _closest_impl(tri_pack, lists, counts, entries, rays8, t_min,
+def _closest_impl(tri_pack, lists, counts, entries, ray_cols, t_min,
                   interpret=False):
-    B = rays8.shape[0]
-    n_tiles = B // TILE
+    n_tiles, _ = ray_cols[0].shape
+    B = n_tiles * TILE
     specs = _search_specs(n_tiles, lists.shape[1])
     T = tri_pack.shape[0] // ROWS * CLUSTER_SIZE
     t, i = pl.pallas_call(
         partial(_closest_kernel, t_min=t_min),
         out_shape=[
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, TILE), jnp.int32),
         ],
-        out_specs=[
-            pl.BlockSpec((TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-        ],
+        out_specs=[_out_spec(), _out_spec()],
         cost_estimate=pl.CostEstimate(
             flops=50 * B * T // 4, bytes_accessed=B * 64 + T * 64, transcendentals=0
         ),
         interpret=interpret,
         **specs,
-    )(lists, counts.reshape(-1, 1), entries, rays8, tri_pack)
-    return t[:, 0], i[:, 0]
+    )(lists, counts.reshape(-1, 1), entries, *ray_cols, tri_pack)
+    return t.reshape(B), i.reshape(B)
 
 
 @partial(jax.jit, static_argnames=("t_min", "interpret"))
-def _anyhit_impl(tri_pack, lists, counts, entries, rays8, t_min,
+def _anyhit_impl(tri_pack, lists, counts, entries, ray_cols, t_min,
                  interpret=False):
-    B = rays8.shape[0]
-    n_tiles = B // TILE
+    n_tiles, _ = ray_cols[0].shape
+    B = n_tiles * TILE
     specs = _search_specs(n_tiles, lists.shape[1])
     T = tri_pack.shape[0] // ROWS * CLUSTER_SIZE
     (occ,) = pl.pallas_call(
         partial(_anyhit_kernel, t_min=t_min),
-        out_shape=[jax.ShapeDtypeStruct((B, 1), jnp.int32)],
-        out_specs=[
-            pl.BlockSpec((TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, TILE), jnp.int32)],
+        out_specs=[_out_spec()],
         cost_estimate=pl.CostEstimate(
             flops=45 * B * T // 8, bytes_accessed=B * 64 + T * 64, transcendentals=0
         ),
         interpret=interpret,
         **specs,
-    )(lists, counts.reshape(-1, 1), entries, rays8, tri_pack)
-    return occ[:, 0] > 0
+    )(lists, counts.reshape(-1, 1), entries, *ray_cols, tri_pack)
+    return occ.reshape(B) > 0
 
 
 @partial(jax.jit, static_argnames=("t_min", "interpret"))
-def _closest_super_impl(tri_pack, bounds_pack, lists, counts, entries, rays8,
-                        t_min, interpret=False):
-    B = rays8.shape[0]
-    n_tiles = B // TILE
+def _closest_super_impl(tri_pack, bounds_pack, lists, counts, entries,
+                        ray_cols, t_min, interpret=False):
+    n_tiles, _ = ray_cols[0].shape
+    B = n_tiles * TILE
     specs = _search_specs(n_tiles, lists.shape[1])
     specs["in_specs"].append(pl.BlockSpec(memory_space=pltpu.VMEM))
     T = tri_pack.shape[0] // ROWS * CLUSTER_SIZE
     t, i = pl.pallas_call(
         partial(_closest_super_kernel, t_min=t_min),
         out_shape=[
-            jax.ShapeDtypeStruct((B, 1), jnp.float32),
-            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n_tiles, TILE), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, TILE), jnp.int32),
         ],
-        out_specs=[
-            pl.BlockSpec((TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-        ],
+        out_specs=[_out_spec(), _out_spec()],
         cost_estimate=pl.CostEstimate(
             flops=50 * B * T // 16, bytes_accessed=B * 64 + T * 64,
             transcendentals=0,
         ),
         interpret=interpret,
         **specs,
-    )(lists, counts.reshape(-1, 1), entries, rays8, tri_pack, bounds_pack)
-    return t[:, 0], i[:, 0]
+    )(lists, counts.reshape(-1, 1), entries, *ray_cols, tri_pack, bounds_pack)
+    return t.reshape(B), i.reshape(B)
 
 
 @partial(jax.jit, static_argnames=("t_min", "interpret"))
-def _anyhit_super_impl(tri_pack, bounds_pack, lists, counts, entries, rays8,
-                       t_min, interpret=False):
-    B = rays8.shape[0]
-    n_tiles = B // TILE
+def _anyhit_super_impl(tri_pack, bounds_pack, lists, counts, entries,
+                       ray_cols, t_min, interpret=False):
+    n_tiles, _ = ray_cols[0].shape
+    B = n_tiles * TILE
     specs = _search_specs(n_tiles, lists.shape[1])
     specs["in_specs"].append(pl.BlockSpec(memory_space=pltpu.VMEM))
     T = tri_pack.shape[0] // ROWS * CLUSTER_SIZE
     (occ,) = pl.pallas_call(
         partial(_anyhit_super_kernel, t_min=t_min),
-        out_shape=[jax.ShapeDtypeStruct((B, 1), jnp.int32)],
-        out_specs=[
-            pl.BlockSpec((TILE, 1), lambda g: (g, 0), memory_space=pltpu.VMEM),
-        ],
+        out_shape=[jax.ShapeDtypeStruct((n_tiles, TILE), jnp.int32)],
+        out_specs=[_out_spec()],
         cost_estimate=pl.CostEstimate(
             flops=45 * B * T // 32, bytes_accessed=B * 64 + T * 64,
             transcendentals=0,
         ),
         interpret=interpret,
         **specs,
-    )(lists, counts.reshape(-1, 1), entries, rays8, tri_pack, bounds_pack)
-    return occ[:, 0] > 0
+    )(lists, counts.reshape(-1, 1), entries, *ray_cols, tri_pack, bounds_pack)
+    return occ.reshape(B) > 0
 
 
 # The search is non-differentiable by design (detached closest-hit
@@ -1384,7 +1415,10 @@ def _prep(scene, o, d, t_min, t_max, interpret, anyhit=False, fused=False):
             aabbs = pack_aabbs(scene.super_min, scene.super_max)
         else:
             aabbs = pack_aabbs(scene.cluster_min, scene.cluster_max)
-        rays8 = _pack_rays(o, d, t_max_k, jnp.zeros_like(t_max_k))
+        rays8 = jnp.stack(
+            [o.x, o.y, o.z, d.x, d.y, d.z, t_max_k,
+             jnp.zeros_like(t_max_k)], axis=1,
+        )
         search_args = (aabbs,)
     else:
         if use_super:

@@ -29,6 +29,11 @@ TRACE_DIR = os.environ.get("PROF_DIR", "/tmp/mfx_trace")
 cs = compile_scene(assets.spot_scene(W, H))
 scene, camera = cs.scene, cs.camera
 config = P.PathTracerConfig(max_depth=DEPTH)
+if os.environ.get("PROF_COMPACT", "1") == "1" and DEPTH == 5:
+    # bench-calibrated spot survival schedule (see bench.calibrated_config)
+    config = __import__("dataclasses").replace(
+        config, compact=(1.0, 0.742, 0.161, 0.079, 0.029)
+    )
 
 
 def loss_fn(albedo, radiance, tri_v0, key):
