@@ -89,8 +89,9 @@ def calibrated_config(scene, camera, width, height, depth):
     )
     if os.environ.get("BENCH_COMPACT", "1") != "1" or depth < 2:
         return base, prof
+    headroom = float(os.environ.get("BENCH_HEADROOM", "1.12"))
     sched = [1.0] + [
-        min(1.0, p * 1.25 + 0.02) for p in prof[1:]
+        min(1.0, p * headroom + 0.01) for p in prof[1:]
     ]
     import dataclasses
 

@@ -142,13 +142,20 @@ def _intersect(scene, rays, config, alive=None):
 ISECT_SAVE_NAMES = ("isect_t", "isect_idx", "occluded",
                     "tex_r", "tex_g", "tex_b")
 ATTR_SAVE_NAMES = tuple(f"attr{k}" for k in range(36))
+# compaction pack-sort outputs: saving the (shrunken) sorted columns lets
+# the rematted recompute skip the multi-operand pack sorts entirely (they
+# are ~5 ms apiece at B=512k and re-ran once per bounce in the backward
+# recompute); ~70 B/kept-lane/bounce of residents, auto-gated by the same
+# HBM check as the attribute saves.
+PACK_SAVE_NAMES = (tuple(f"pack{k}" for k in range(18))
+                   + tuple(f"packi{k}" for k in range(4)))
 SAVE_ISECT = jax.checkpoint_policies.save_only_these_names(*ISECT_SAVE_NAMES)
 # + the 36 fetched attribute columns: skips the gather + Pallas unpack in
 # the rematted recompute at ~144 B/ray/bounce of extra residents — right
 # for moderate spp-scan lengths (the bench), wrong for very long ones
 # (Renault @ 256 spp); selected via PathTracerConfig.save_attrs.
 SAVE_ISECT_ATTRS = jax.checkpoint_policies.save_only_these_names(
-    *(ISECT_SAVE_NAMES + ATTR_SAVE_NAMES)
+    *(ISECT_SAVE_NAMES + ATTR_SAVE_NAMES + PACK_SAVE_NAMES)
 )
 
 
@@ -303,6 +310,8 @@ def _compact_bounce_loop(scene, init, bounce_step, config):
     form needs a fixed carry shape). Carries flat (B,) columns end-to-end
     (see the layout note below). Returns (B, 3) radiance in the original
     lane order."""
+    from mafrixraytracing_tpu.core.v3 import V3
+
     B = init[0].shape[0]
     buckets = compact_buckets(config, B)
     carry, _ = bounce_step(init, 0)
@@ -316,16 +325,48 @@ def _compact_bounce_loop(scene, init, bounce_step, config):
             selected, thr = _population_rr(
                 alive, carry[6:9], carry[I_KEYS], pid, b, K
             )
-            carry = (carry[0:6] + thr + carry[9:I_ALIVE]
-                     + (selected,) + carry[I_ALIVE + 1:])
-            # stable pack: kept lanes first, in current (tile) order
-            pos = jnp.arange(Kp, dtype=jnp.int32)
-            ckey = jnp.where(selected, pos, pos + jnp.int32(1 << 30))
-            cols, pid_s = _sort_flat(ckey, carry, pid)
-            frag_pid.append(pid_s[K:])
-            frag_r.append(tuple(c[K:] for c in cols[9:12]))
-            carry = tuple(c[:K] for c in cols)
-            pid = pid_s[:K]
+            carry = carry[0:6] + thr + carry[9:]
+            # pack live lanes first AND re-tile them by wavefront-coherence
+            # key in the same single multi-operand sort: bounce rays are
+            # incoherent in pixel order (random scatter directions), so
+            # ordering the survivors by (origin-Morton | direction octant |
+            # direction-Morton) tightens every intersector tile's frustum
+            # for free — the sort was already being paid for the pack.
+            # Dead lanes sort to the end (key bit 30; coherence keys are
+            # 21 bits). The estimator is exactly permutation-invariant and
+            # the sort is stable, so results stay bit-identical across
+            # backends.
+            o = V3(carry[0], carry[1], carry[2])
+            d = V3(carry[3], carry[4], carry[5])
+            skey = _coherence_key_soa(scene, o, d, selected)
+            kd = jax.random.key_data(carry[I_KEYS])
+            # slim payload: `alive` is reconstructed from the live count
+            # (selected lanes sort first), and the time column only travels
+            # under motion blur (zeros otherwise)
+            fcols = carry[0:13] + ((carry[13],) if config.motion_blur else ())
+            icols = (carry[I_SPEC].astype(jnp.int32), kd[:, 0], kd[:, 1], pid)
+            f, i = _permute_by_key(skey, fcols, icols)
+            n_sel = jnp.sum(selected.astype(jnp.int32))
+            # every slice of the sort's outputs is checkpoint-named so the
+            # policy can save them ALL — only then is the sort itself dead
+            # code in the rematted backward recompute (one live output keeps
+            # the whole multi-operand sort alive)
+            frag_pid.append(checkpoint_name(i[3][K:], "pack14"))
+            frag_r.append(tuple(
+                checkpoint_name(c[K:], f"pack{15 + j}")
+                for j, c in enumerate(f[9:12])
+            ))
+            f = tuple(checkpoint_name(c[:K], f"pack{k}")
+                      for k, c in enumerate(f))
+            ik = tuple(checkpoint_name(c[:K], f"packi{k}")
+                       for k, c in enumerate(i))
+            times_s = f[13] if config.motion_blur else jnp.zeros((K,), jnp.float32)
+            carry = (f[0:13] + (times_s,
+                                jnp.arange(K, dtype=jnp.int32) < n_sel,
+                                ik[0].astype(bool),
+                                jax.random.wrap_key_data(
+                                    jnp.stack([ik[1], ik[2]], axis=1))))
+            pid = ik[3]
         carry, _ = bounce_step(carry, b)
     frag_pid.append(pid)
     frag_r.append(carry[9:12])

@@ -66,9 +66,14 @@ BIG = 1e30
 DET_EPS = 1e-10
 MAX_VMEM_TRIS = 200_000  # (T/128, 16, 128) f32 must fit comfortably in VMEM
 EXIT_CHECK = int(_os.environ.get("MFX_EXIT_CHECK", "4"))
-                    # clusters between early-termination checks
+                    # clusters between early-termination checks (closest)
+EXIT_CHECK_ANY = int(_os.environ.get("MFX_EXIT_CHECK_ANY", str(EXIT_CHECK)))
+                    # same for the any-hit walk: its exit fires as soon as
+                    # every lane is blocked, so a smaller chunk can pay
+                    # where the closest walk prefers a larger one
 assert TILE % 8 == 0 and 8 <= TILE <= 128, f"MFX_TILE={TILE}: need a multiple of 8 in [8, 128]"
 assert EXIT_CHECK >= 1, f"MFX_EXIT_CHECK={EXIT_CHECK}: need >= 1"
+assert EXIT_CHECK_ANY >= 1, f"MFX_EXIT_CHECK_ANY={EXIT_CHECK_ANY}: need >= 1"
 
 # Scenes with more than this many clusters cull rays at SUPERcluster
 # granularity ((B, S) slabs, 16x smaller) and let the kernel refine each
@@ -90,6 +95,18 @@ SUPER_MIN_C = int(_os.environ.get("MFX_SUPER_MIN_C", "128"))
 # cull stays the default; the fused path remains available for sweeps
 # (MFX_FUSED_CULL=1) and is regression-tested in interpret mode.
 FUSED_CULL = _os.environ.get("MFX_FUSED_CULL", "0") == "1"
+
+# Tile-frustum cull (round 5 experiment, NON-default): cull whole 128-ray
+# tiles with one interval-arithmetic slab test per (tile, cluster) instead
+# of per (ray, cluster) — 128x less cull arithmetic, conservative superset
+# lists (see `_cull_frustum`), bit-identical kernel results. Measured on
+# the spot bench: the cull math savings (~12 ms/iter) are swamped by the
+# longer walks the looser lists cause on bounce tiles (13.3M -> 8.7M
+# rays/s), even with the coherence-sorted wavefront — a 128-ray tile after
+# a diffuse bounce still spans enough origin/direction volume that the
+# interval frustum passes most clusters. Kept for scenes/tiles with truly
+# coherent rays; MFX_FRUSTUM_CULL=1 enables it.
+FRUSTUM_CULL = _os.environ.get("MFX_FRUSTUM_CULL", "0") == "1"
 
 # t_min arrives as a STATIC Python float (PathTracerConfig.t_min is a
 # hashable jit-static, and the NEE shadow epsilon is a module constant), so
@@ -149,6 +166,83 @@ def _bitonic_argsort_rows(entry):
             j //= 2
         k *= 2
     return key[:, :C], val[:, :C]
+
+
+def _cull_frustum(o, d, t_max, cmin, cmax):
+    """Per-tile FRUSTUM cull: interval-arithmetic slab test of each ray
+    tile's bounding frustum (componentwise origin box x direction box)
+    against every cluster AABB — (tiles, C) work instead of the per-ray
+    (B, C) dense slab (128x less arithmetic; the per-ray cull was ~3 ms per
+    query at B=512k and pure VPU math no matter where it ran).
+
+    CONSERVATIVE by construction: for any ray in the tile,
+      TN_low <= tn(ray)  (max over axes of the interval product minimum
+                          lower-bounds the per-ray entry: min_r max_a >=
+                          max_a min_r), and
+      TF_up  >= tf(ray)  (min over axes of the interval product maximum).
+    So the survivor set is a superset of the per-ray cull's, entries
+    lower-bound true entries, and `far` upper-bounds true exits — the walk
+    kernels apply exact per-ray tests, so results are bit-identical, only
+    the candidate lists are (slightly) longer. The wavefront is coherence-
+    sorted between bounces (integrator pack), which keeps tile frusta
+    tight; dead rays (t_max <= 0) are excluded from the tile bounds.
+
+    Same return contract as `_cull`."""
+    B = o.x.shape[0]
+    n_tiles = B // TILE
+    C = cmin.shape[0]
+    live_ray = t_max > 0.0
+
+    def tile_bounds(c, live):
+        cr = c.reshape(n_tiles, TILE)
+        lo = jnp.min(jnp.where(live, cr, BIG), axis=1)
+        hi = jnp.max(jnp.where(live, cr, -BIG), axis=1)
+        return lo, hi
+
+    lr = live_ray.reshape(n_tiles, TILE)
+    TN = jnp.full((n_tiles, C), -BIG, jnp.float32)
+    TF = jnp.full((n_tiles, C), BIG, jnp.float32)
+    for oa, da, a in ((o.x, d.x, 0), (o.y, d.y, 1), (o.z, d.z, 2)):
+        olo, ohi = tile_bounds(oa, lr)
+        dlo, dhi = tile_bounds(da, lr)
+        # pure-sign direction interval -> reciprocal interval; mixed-sign
+        # (or zero-width degenerate) tiles leave this axis unconstrained
+        pure = (dlo > 1e-12) | (dhi < -1e-12)
+        sd1 = jnp.where(pure, dlo, 1.0)
+        sd2 = jnp.where(pure, dhi, 1.0)
+        iv1, iv2 = 1.0 / sd1, 1.0 / sd2
+        # numerator interval ends for (cmin - o) and (cmax - o)
+        p1 = cmin[None, :, a] - ohi[:, None]
+        p2 = cmin[None, :, a] - olo[:, None]
+        q1 = cmax[None, :, a] - ohi[:, None]
+        q2 = cmax[None, :, a] - olo[:, None]
+        # per-ray tn_a = min(t0, t1), tf_a = max(t0, t1): the extremes over
+        # the tile are the min/max over all 8 interval products
+        lo8 = hi8 = None
+        for x in (p1, p2, q1, q2):
+            for iv in (iv1, iv2):
+                prod = x * iv[:, None]
+                lo8 = prod if lo8 is None else jnp.minimum(lo8, prod)
+                hi8 = prod if hi8 is None else jnp.maximum(hi8, prod)
+        lo8 = jnp.where(pure[:, None], lo8, -BIG)
+        hi8 = jnp.where(pure[:, None], hi8, BIG)
+        TN = jnp.maximum(TN, lo8)
+        TF = jnp.minimum(TF, hi8)
+
+    any_live = jnp.any(lr, axis=1)
+    tmax_hi = jnp.max(jnp.where(lr, t_max.reshape(n_tiles, TILE), -BIG), axis=1)
+    live_c = (cmin[:, 0] <= cmax[:, 0])[None, :]
+    hit = (live_c & any_live[:, None] & (TN <= TF) & (TF > 0.0)
+           & (TN < tmax_hi[:, None]))
+    tile_entry = jnp.where(hit, jnp.maximum(TN, 0.0), BIG)
+    entries, order = _bitonic_argsort_rows(tile_entry)
+    counts = jnp.sum(hit, axis=1).astype(jnp.int32)
+    far_tile = jnp.max(jnp.where(hit, TF, -BIG), axis=1)  # (tiles,)
+    far = jnp.minimum(
+        jnp.broadcast_to(far_tile[:, None], (n_tiles, TILE)).reshape(B),
+        t_max,
+    )
+    return order, counts, entries, far
 
 
 def _cull(o, d, t_max, cmin, cmax):
@@ -368,8 +462,8 @@ def _anyhit_kernel(list_ref, count_ref, entry_ref, ox, oy, oz, dx, dy, dz,
             nb = test_cluster(idx, b)
             return jnp.where((k + j) < n, nb, b)
 
-        blocked = lax.fori_loop(0, EXIT_CHECK, one, blocked)
-        return k + EXIT_CHECK, blocked
+        blocked = lax.fori_loop(0, EXIT_CHECK_ANY, one, blocked)
+        return k + EXIT_CHECK_ANY, blocked
 
     def chunk_cond(state):
         k, blocked = state
@@ -577,8 +671,9 @@ def _fused_anyhit_kernel(aabb_ref, ray_ref, tri_ref, occ_out, *, t_min):
             b = jnp.where(ok, nb, b)
             return (_lane_roll(kv, 1), _lane_roll(iv, 1), b)
 
-        kv, iv, blocked = lax.fori_loop(0, EXIT_CHECK, one, (kv, iv, blocked))
-        return k + EXIT_CHECK, kv, iv, blocked
+        kv, iv, blocked = lax.fori_loop(0, EXIT_CHECK_ANY, one,
+                                        (kv, iv, blocked))
+        return k + EXIT_CHECK_ANY, kv, iv, blocked
 
     def chunk_cond(state):
         k, kv, _, blocked = state
@@ -1421,12 +1516,13 @@ def _prep(scene, o, d, t_min, t_max, interpret, anyhit=False, fused=False):
         )
         search_args = (aabbs,)
     else:
+        cull = _cull_frustum if FRUSTUM_CULL else _cull
         if use_super:
-            lists, counts, entries, far = _cull(
+            lists, counts, entries, far = cull(
                 o, d, t_max_k, scene.super_min, scene.super_max
             )
         else:
-            lists, counts, entries, far = _cull(
+            lists, counts, entries, far = cull(
                 o, d, t_max_k, scene.cluster_min, scene.cluster_max
             )
         rays8 = _pack_rays(o, d, t_max_k, far)

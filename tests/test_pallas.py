@@ -251,3 +251,45 @@ def test_fused_cull_matches_list_path(monkeypatch):
     np.testing.assert_allclose(np.asarray(t0), np.asarray(t1),
                                rtol=1e-6, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(occ0), np.asarray(occ1))
+
+
+def test_frustum_cull_conservative_and_equal(monkeypatch):
+    """The tile-frustum cull (round 5 default) must produce a SUPERSET of
+    the per-ray cull's survivor lists (interval arithmetic is conservative)
+    with lower-bound entries / upper-bound far, and identical kernel
+    results (the kernels apply exact per-ray tests, so only the candidate
+    lists may differ)."""
+    from mafrixraytracing_tpu.core.v3 import V3
+
+    cs = compile_scene(cornell_box())
+    rays = _random_rays(256, (0.4, 0.6, 0.8), seed=23)
+    o, d = V3.of(rays.origin), V3.of(rays.direction)
+    t_max = jnp.full((256,), 1e8, jnp.float32).at[40:90].set(0.0)
+    l1, c1, e1, f1 = ip._cull(o, d, t_max, cs.scene.cluster_min,
+                              cs.scene.cluster_max)
+    l2, c2, e2, f2 = ip._cull_frustum(o, d, t_max, cs.scene.cluster_min,
+                                      cs.scene.cluster_max)
+    l1, c1, e1, f1, l2, c2, e2, f2 = map(
+        np.asarray, (l1, c1, e1, f1, l2, c2, e2, f2))
+    for t in range(l1.shape[0]):
+        s1 = set(l1[t, : c1[t]])
+        s2 = set(l2[t, : c2[t]])
+        assert s1 <= s2, (t, s1 - s2)
+        ent1 = {int(l1[t, i]): e1[t, i] for i in range(c1[t])}
+        ent2 = {int(l2[t, i]): e2[t, i] for i in range(c2[t])}
+        for cid, en in ent1.items():
+            assert ent2[cid] <= en + 1e-3
+    assert (f2 >= f1 - 1e-3).all()
+
+    # end-to-end equality: frustum vs per-ray cull feeding the kernels
+    t0, i0 = ip.find_closest(cs.scene, rays, T_MIN, 1e8, interpret=True)
+    occ0 = ip.occluded(cs.scene, rays, T_MIN, jnp.full((256,), 2.5),
+                       interpret=True)
+    monkeypatch.setattr(ip, "FRUSTUM_CULL", not ip.FRUSTUM_CULL)
+    t1, i1 = ip.find_closest(cs.scene, rays, T_MIN, 1e8, interpret=True)
+    occ1 = ip.occluded(cs.scene, rays, T_MIN, jnp.full((256,), 2.5),
+                       interpret=True)
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(t1),
+                               rtol=1e-6, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(occ0), np.asarray(occ1))
