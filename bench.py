@@ -83,7 +83,8 @@ def calibrated_config(scene, camera, width, height, depth):
     numerator is then re-measured WITH the final schedule (trace_stats
     mirrors the kills), keeping the rays/s accounting honest.
     BENCH_COMPACT=0 disables compaction."""
-    base = P.PathTracerConfig(max_depth=depth)
+    wavefront = int(os.environ.get("BENCH_WAVEFRONT", str(1 << 19)))
+    base = P.PathTracerConfig(max_depth=depth, wavefront=wavefront)
     _, prof = count_queries_per_sample(
         scene, camera, width, height, base, profile=True
     )
