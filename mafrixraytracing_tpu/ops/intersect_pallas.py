@@ -340,8 +340,16 @@ def _ray_rows(ray_refs, r):
     utilization (round-5 trace: 10+ ms "elementwise" fusions whose outputs
     fed the ray-record concat). Component-major (n_tiles, TILE) operands
     are layout-identical to dense (B,) columns, so the producing fusions
-    stay dense and the only cost is 8 in-register transposes per tile."""
-    cols = tuple(ref[pl.ds(r, 1), :].T for ref in ray_refs)
+    stay dense and the only cost is ONE in-register transpose per tile:
+    the 8 component rows concatenate to an (8, TILE) block first, so the
+    XLU runs a single (8,128)->(128,8) transpose instead of 8 degenerate
+    (1,128)->(128,1) ones (the per-tile fixed overhead was ~half the walk
+    kernels' time at spot-sized survivor counts)."""
+    rows8 = jnp.concatenate(
+        [ref[pl.ds(r, 1), :] for ref in ray_refs], axis=0
+    )  # (8, TILE)
+    rt = rows8.T  # (TILE, 8)
+    cols = tuple(rt[:, i:i + 1] for i in range(8))
     return cols[0:6], cols[6], cols[7]
 
 
@@ -393,13 +401,17 @@ def _closest_kernel(
         k, best_t, best_i = state
 
         def one(j, bb):
-            bt, bi = bb
-            idx = jnp.minimum(k + j, jnp.maximum(n - 1, 0))
-            nt, ni = test_cluster(idx, bt, bi)
-            in_range = (k + j) < n
-            bt = jnp.where(in_range, nt, bt)
-            bi = jnp.where(in_range, ni, bi)
-            return bt, bi
+            # (k + j) < n is a SCALAR: lax.cond SKIPS the whole (TILE, 128)
+            # cluster test for out-of-range slots instead of paying it and
+            # select-discarding — mean survivors/tile is ~2.4 while
+            # EXIT_CHECK quantizes the chunk to 4, so the guarded slots
+            # were ~40% wasted VPU work on coherent bounces
+            return lax.cond(
+                (k + j) < n,
+                lambda b: test_cluster(k + j, *b),
+                lambda b: b,
+                bb,
+            )
 
         best_t, best_i = lax.fori_loop(0, EXIT_CHECK, one, (best_t, best_i))
         return k + EXIT_CHECK, best_t, best_i
@@ -458,9 +470,11 @@ def _anyhit_kernel(list_ref, count_ref, entry_ref, ox, oy, oz, dx, dy, dz,
         k, blocked = state
 
         def one(j, b):
-            idx = jnp.minimum(k + j, jnp.maximum(n - 1, 0))
-            nb = test_cluster(idx, b)
-            return jnp.where((k + j) < n, nb, b)
+            # scalar-guarded skip (see _closest_kernel.chunk_body)
+            return lax.cond(
+                (k + j) < n, lambda bb: test_cluster(k + j, bb),
+                lambda bb: bb, b,
+            )
 
         blocked = lax.fori_loop(0, EXIT_CHECK_ANY, one, blocked)
         return k + EXIT_CHECK_ANY, blocked
